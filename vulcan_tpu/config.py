@@ -1,0 +1,77 @@
+"""Pipeline configuration.
+
+The reference scatters its constants across setter methods
+(``Volume::SetTruncationLength``, tracker iteration counts, ... SURVEY.md §6
+"Config / flag system").  Here everything is one frozen, hashable dataclass of
+plain Python numbers so it can be a *static* argument to jitted functions:
+changing the config recompiles, using it never retraces.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # --- volume geometry ---
+    voxel_size: float = 0.008          # meters per voxel
+    trunc_dist: float = 0.04           # TSDF truncation band mu (meters)
+    max_weight: float = 128.0          # running-average weight clamp W_max
+
+    # --- voxel-block hashing (InfiniTAM-style, SURVEY.md components #10-13) ---
+    block_size: int = 8                # voxels per block edge (8^3 blocks)
+    num_blocks: int = 65536            # capacity of voxel-block storage
+    hash_size: int = 262144            # open-addressed table slots (power of 2)
+    max_probes: int = 16               # linear-probe bound for lookup/insert
+    max_visible: int = 16384           # capacity of the visible-block list
+    alloc_samples: int = 8             # ray samples in [d-mu, d+mu] per pixel
+    alloc_subsample: int = 2           # allocate from every Nth pixel (x and y)
+
+    # --- integration ---
+    depth_min: float = 0.1             # valid depth range (meters)
+    depth_max: float = 5.0
+
+    # --- raycast ---
+    ray_near: float = 0.1
+    ray_far: float = 5.0
+    raycast_steps: int = 192           # fixed trip count of the coarse march
+    refine_steps: int = 4              # secant refinement iterations
+
+    # --- bilateral filter ---
+    bilateral_radius: int = 2
+    bilateral_sigma_space: float = 2.0
+    bilateral_sigma_depth: float = 0.05
+
+    # --- ICP tracking (coarse-to-fine; level 0 = full res) ---
+    pyramid_levels: int = 3
+    icp_iters: tuple[int, ...] = (4, 5, 10)     # per level, fine -> coarse
+    icp_dist_thresh: float = 0.1       # association gates (meters / cos angle)
+    icp_normal_thresh: float = 0.8
+    icp_damping: float = 1e-6          # Levenberg damping on the 6x6 solve
+
+    # --- mesh extraction ---
+    max_mesh_triangles: int = 2_000_000
+
+    def __post_init__(self):
+        assert self.block_size == 8, "voxel blocks are 8^3 (InfiniTAM layout)"
+        assert self.hash_size & (self.hash_size - 1) == 0, "hash_size must be a power of 2"
+        assert len(self.icp_iters) == self.pyramid_levels
+
+    @property
+    def block_volume(self) -> int:
+        return self.block_size ** 3
+
+    @property
+    def block_extent(self) -> float:
+        """World-space edge length of one voxel block (meters)."""
+        return self.block_size * self.voxel_size
+
+
+# Small configs for tests / CI on CPU.
+TINY = Config(
+    num_blocks=2048,
+    hash_size=8192,
+    max_visible=1024,
+    raycast_steps=96,
+    max_mesh_triangles=200_000,
+)

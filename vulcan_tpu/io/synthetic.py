@@ -1,0 +1,130 @@
+"""Analytic synthetic scenes for tests and offline benchmarks.
+
+There is no network in this environment (SURVEY.md §5), so TUM sequences are
+replaced by analytic scenes: exact ray-sphere/plane intersections give
+ground-truth depth images, and an orbiting camera gives ground-truth poses.
+These drive the golden tests and the staged configs of BASELINE.json.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import PinholeCamera
+from ..core.se3 import SE3
+
+
+def look_at(eye, target, up=(0.0, 0.0, 1.0)) -> SE3:
+    """Camera-to-world pose with +z looking from eye toward target.
+
+    Camera convention: x right, y down, z forward (OpenCV / TUM).
+    """
+    eye = np.asarray(eye, np.float64)
+    target = np.asarray(target, np.float64)
+    up = np.asarray(up, np.float64)
+    z = target - eye
+    z = z / np.linalg.norm(z)
+    x = np.cross(z, up)
+    if np.linalg.norm(x) < 1e-9:
+        x = np.cross(z, np.array([0.0, 1.0, 0.0]))
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z], axis=1)  # columns = camera axes in world
+    return SE3(jnp.asarray(R, jnp.float32), jnp.asarray(eye, jnp.float32))
+
+
+def orbit_poses(
+    n: int, center=(0.0, 0.0, 0.0), radius: float = 1.5, height: float = 0.4,
+    span: float = 2.0 * np.pi,
+) -> list[SE3]:
+    """n camera poses on a circle around ``center``, looking inward."""
+    poses = []
+    center = np.asarray(center, np.float64)
+    for i in range(n):
+        a = span * i / max(n, 1)
+        eye = center + np.array(
+            [radius * np.cos(a), radius * np.sin(a), height]
+        )
+        poses.append(look_at(eye, center))
+    return poses
+
+
+def sphere_sdf(points: jax.Array, center, radius: float) -> jax.Array:
+    c = jnp.asarray(center, points.dtype)
+    return jnp.linalg.norm(points - c, axis=-1) - radius
+
+
+def procedural_color(points: jax.Array) -> jax.Array:
+    """Smooth position-based RGB in [0,1] for colored-fusion tests."""
+    return 0.5 + 0.5 * jnp.sin(
+        points * jnp.asarray([3.0, 5.0, 7.0], points.dtype)
+    )
+
+
+def render_sphere_depth(
+    camera: PinholeCamera,
+    pose: SE3,
+    height: int,
+    width: int,
+    center=(0.0, 0.0, 0.0),
+    radius: float = 0.5,
+):
+    """Exact analytic depth + color of a sphere. Returns (depth, color).
+
+    Depth is z-depth (camera-space z), 0 where the ray misses.
+    """
+    rays_cam = camera.rays(height, width)                 # z = 1
+    d_world = pose.rotate(rays_cam)
+    o = pose.translation
+    c = jnp.asarray(center, jnp.float32)
+    oc = o - c
+    # Solve |o + t*d - c|^2 = r^2 for t (d not normalized; t is z-depth).
+    a = jnp.sum(d_world * d_world, axis=-1)
+    b = 2.0 * jnp.sum(d_world * oc, axis=-1)
+    cc = jnp.sum(oc * oc) - radius * radius
+    disc = b * b - 4.0 * a * cc
+    hit = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t = (-b - sq) / (2.0 * a)
+    hit = hit & (t > 0.0)
+    depth = jnp.where(hit, t, 0.0)
+    p = o + t[..., None] * d_world
+    color = jnp.where(hit[..., None], procedural_color(p), 0.0)
+    return depth, color
+
+
+def render_scene_depth(
+    camera: PinholeCamera,
+    pose: SE3,
+    height: int,
+    width: int,
+    spheres=(((0.0, 0.0, 0.0), 0.5),),
+    floor_z: float | None = None,
+):
+    """Depth of a union of spheres (+ optional z=floor_z plane), exact."""
+    rays_cam = camera.rays(height, width)
+    d_world = pose.rotate(rays_cam)
+    o = pose.translation
+    best_t = jnp.full((height, width), jnp.inf)
+    for center, radius in spheres:
+        c = jnp.asarray(center, jnp.float32)
+        oc = o - c
+        a = jnp.sum(d_world * d_world, axis=-1)
+        b = 2.0 * jnp.sum(d_world * oc, axis=-1)
+        cc = jnp.sum(oc * oc) - radius * radius
+        disc = b * b - 4.0 * a * cc
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t = (-b - sq) / (2.0 * a)
+        ok = (disc >= 0.0) & (t > 0.0)
+        best_t = jnp.where(ok & (t < best_t), t, best_t)
+    if floor_z is not None:
+        dz = d_world[..., 2]
+        t = (floor_z - o[2]) / jnp.where(jnp.abs(dz) > 1e-9, dz, 1e-9)
+        ok = (jnp.abs(dz) > 1e-9) & (t > 0.0)
+        best_t = jnp.where(ok & (t < best_t), t, best_t)
+    hit = jnp.isfinite(best_t)
+    depth = jnp.where(hit, best_t, 0.0)
+    p = o + jnp.where(hit, best_t, 0.0)[..., None] * d_world
+    color = jnp.where(hit[..., None], procedural_color(p), 0.0)
+    return depth, color

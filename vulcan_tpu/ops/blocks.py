@@ -1,0 +1,213 @@
+"""Voxel-block volume state and sparse TSDF sampling.
+
+TPU-native rebuild of the reference's ``Volume`` / ``Block`` / ``Voxel``
+(SURVEY.md components #10, #14; ``volume.h/.cu``, ``block.h`` [M];
+InfiniTAM 8^3 voxel blocks [P:1410.0925]).  All storage is static-shape
+HBM-resident arrays:
+
+  * voxel data: (num_blocks, 8, 8, 8[,3]) float32 -- block b, local (x,y,z);
+  * hash table: see ``ops/hashing.py`` (open addressing, SoA);
+  * visible list: fixed capacity with a valid count (CUDA stream compaction
+    becomes sort-based compaction, ``ops/allocate.py``).
+
+Geometry conventions:
+  * global voxel index g (int), world position = g * voxel_size (voxel
+    "centers" sit on the metric lattice);
+  * block coord = floor_div(g, 8); local = g - 8*block (always in [0,8));
+  * block coords are bounded to [-512, 512) per axis so a block key packs
+    into one int32 for sort-based dedup (scene extent limit: +-512 *
+    block_extent, i.e. +-32.7 m at the default 8 mm voxels).
+
+Block index 0 is a *sentinel null block* (weight forever 0); hash misses
+gather from it harmlessly, which removes all bounds branches from the hot
+sampling paths.  Real blocks start at index 1.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..utils.pytree import pytree_dataclass
+from . import hashing
+
+COORD_BOUND = 512  # per-axis block coord in [-COORD_BOUND, COORD_BOUND)
+
+
+@pytree_dataclass
+class VolumeState:
+    """Sparse voxel-block TSDF volume (the reference's ``Volume`` state)."""
+
+    # hash table (SoA)
+    hash_keys: jax.Array      # (hash_size, 3) int32, EMPTY_KEY = empty
+    hash_values: jax.Array    # (hash_size,) int32 block index
+    free_count: jax.Array     # () int32, next free block index (starts at 1)
+    # voxel storage
+    block_coords: jax.Array   # (num_blocks, 3) int32 coord of each block
+    tsdf: jax.Array           # (num_blocks, 8, 8, 8) float32 in [-1, 1]
+    weight: jax.Array         # (num_blocks, 8, 8, 8) float32
+    color: jax.Array          # (num_blocks, 8, 8, 8, 3) float32
+    color_weight: jax.Array   # (num_blocks, 8, 8, 8) float32
+    # per-frame visible set (compacted; entries beyond num_visible are 0)
+    visible_ids: jax.Array    # (max_visible,) int32 block indices
+    num_visible: jax.Array    # () int32
+    # diagnostics (never silently dropped work -- SURVEY.md §6)
+    alloc_overflow: jax.Array    # () int32 candidates dropped by capacity
+    visible_overflow: jax.Array  # () int32 visible blocks beyond capacity
+
+
+def create_volume(config: Config, dtype=jnp.float32) -> VolumeState:
+    nb = config.num_blocks
+    bs = config.block_size
+    return VolumeState(
+        hash_keys=jnp.full((config.hash_size, 3), hashing.EMPTY_KEY, jnp.int32),
+        hash_values=jnp.zeros((config.hash_size,), jnp.int32),
+        free_count=jnp.asarray(1, jnp.int32),  # block 0 = null sentinel
+        block_coords=jnp.zeros((nb, 3), jnp.int32),
+        tsdf=jnp.ones((nb, bs, bs, bs), dtype),
+        weight=jnp.zeros((nb, bs, bs, bs), dtype),
+        color=jnp.zeros((nb, bs, bs, bs, 3), dtype),
+        color_weight=jnp.zeros((nb, bs, bs, bs), dtype),
+        visible_ids=jnp.zeros((config.max_visible,), jnp.int32),
+        num_visible=jnp.asarray(0, jnp.int32),
+        alloc_overflow=jnp.asarray(0, jnp.int32),
+        visible_overflow=jnp.asarray(0, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# coordinate packing (sort-based dedup currency)
+# ---------------------------------------------------------------------------
+
+
+def pack_block_coords(coords: jax.Array) -> jax.Array:
+    """(...,3) int32 block coords -> (...,) int32 sortable code."""
+    c = coords + COORD_BOUND
+    return (c[..., 0] << 20) | (c[..., 1] << 10) | c[..., 2]
+
+
+def unpack_block_coords(codes: jax.Array) -> jax.Array:
+    x = (codes >> 20) & 0x3FF
+    y = (codes >> 10) & 0x3FF
+    z = codes & 0x3FF
+    return jnp.stack([x, y, z], axis=-1) - COORD_BOUND
+
+
+def coords_in_bounds(coords: jax.Array) -> jax.Array:
+    return jnp.all(
+        (coords >= -COORD_BOUND) & (coords < COORD_BOUND), axis=-1
+    )
+
+
+INVALID_CODE = jnp.int32(0x7FFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# sparse voxel access
+# ---------------------------------------------------------------------------
+
+
+def world_to_voxel(p: jax.Array, config: Config) -> jax.Array:
+    """World points (...,3) -> continuous voxel coords."""
+    return p / config.voxel_size
+
+
+def voxel_block_local(g: jax.Array, config: Config):
+    """Integer voxel indices (...,3) -> (block_coords, local_idx)."""
+    bs = config.block_size
+    block = jnp.floor_divide(g, bs)
+    local = g - block * bs
+    return block, local
+
+
+def lookup_blocks(volume: VolumeState, block_coords: jax.Array, config: Config):
+    """Hash-lookup block coords (...,3) -> block index (0 = null/missing)."""
+    idx, found = hashing.lookup(
+        volume.hash_keys, volume.hash_values, block_coords, config
+    )
+    return jnp.where(found, idx, 0)
+
+
+def read_voxels(volume: VolumeState, g: jax.Array, config: Config):
+    """Gather TSDF/weight at integer voxel coords g (...,3).
+
+    Returns (tsdf, weight); unallocated voxels read the null block:
+    tsdf=1, weight=0.
+    """
+    block, local = voxel_block_local(g, config)
+    b = lookup_blocks(volume, block, config)
+    lx, ly, lz = local[..., 0], local[..., 1], local[..., 2]
+    return volume.tsdf[b, lx, ly, lz], volume.weight[b, lx, ly, lz]
+
+
+def sample_tsdf_nearest(volume: VolumeState, p_world: jax.Array, config: Config):
+    """Nearest-voxel TSDF at world points: the cheap raycast march sample."""
+    g = jnp.round(world_to_voxel(p_world, config)).astype(jnp.int32)
+    return read_voxels(volume, g, config)
+
+
+def sample_tsdf_trilinear(
+    volume: VolumeState, p_world: jax.Array, config: Config
+):
+    """Trilinear TSDF at world points (...,3) -> (value, all_observed).
+
+    8 hash lookups per point (one per corner, InfiniTAM-style cross-block
+    interpolation); ok requires every corner observed (weight > 0).
+    """
+    q = world_to_voxel(p_world, config)
+    q0 = jnp.floor(q)
+    frac = q - q0
+    q0 = q0.astype(jnp.int32)
+    val = jnp.zeros(q.shape[:-1], volume.tsdf.dtype)
+    ok = jnp.ones(q.shape[:-1], bool)
+    for dx in (0, 1):
+        wx = frac[..., 0] if dx else 1.0 - frac[..., 0]
+        for dy in (0, 1):
+            wy = frac[..., 1] if dy else 1.0 - frac[..., 1]
+            for dz in (0, 1):
+                wz = frac[..., 2] if dz else 1.0 - frac[..., 2]
+                g = q0 + jnp.asarray([dx, dy, dz], jnp.int32)
+                f, w = read_voxels(volume, g, config)
+                val = val + (wx * wy * wz) * f
+                ok = ok & (w > 0.0)
+    return val, ok
+
+
+def sample_color_trilinear(
+    volume: VolumeState, p_world: jax.Array, config: Config
+):
+    """Trilinear color at world points (...,3) -> (rgb, any_observed).
+
+    Color uses weights as soft interpolation (unobserved corners contribute
+    zero weight) so color bleeds less at boundaries.
+    """
+    q = world_to_voxel(p_world, config)
+    q0 = jnp.floor(q)
+    frac = q - q0
+    q0 = q0.astype(jnp.int32)
+    rgb = jnp.zeros(q.shape[:-1] + (3,), volume.color.dtype)
+    wsum = jnp.zeros(q.shape[:-1], volume.color.dtype)
+    for dx in (0, 1):
+        wx = frac[..., 0] if dx else 1.0 - frac[..., 0]
+        for dy in (0, 1):
+            wy = frac[..., 1] if dy else 1.0 - frac[..., 1]
+            for dz in (0, 1):
+                wz = frac[..., 2] if dz else 1.0 - frac[..., 2]
+                g = q0 + jnp.asarray([dx, dy, dz], jnp.int32)
+                block, local = voxel_block_local(g, config)
+                b = lookup_blocks(volume, block, config)
+                lx, ly, lz = local[..., 0], local[..., 1], local[..., 2]
+                cw = volume.color_weight[b, lx, ly, lz]
+                w = (wx * wy * wz) * jnp.where(cw > 0.0, 1.0, 0.0)
+                rgb = rgb + w[..., None] * volume.color[b, lx, ly, lz]
+                wsum = wsum + w
+    ok = wsum > 1e-6
+    rgb = rgb / jnp.maximum(wsum, 1e-6)[..., None]
+    return jnp.where(ok[..., None], rgb, 0.0), ok
+
+
+def allocated_mask(volume: VolumeState, config: Config) -> jax.Array:
+    """(num_blocks,) bool -- which block slots hold real allocated blocks."""
+    n = volume.tsdf.shape[0]
+    ids = jnp.arange(n, dtype=jnp.int32)
+    return (ids >= 1) & (ids < volume.free_count)

@@ -1,0 +1,25 @@
+"""Runtime setup: persistent compilation cache and platform helpers.
+
+First Pallas compile on this host's TPU was measured at 139 s (SURVEY.md §7
+[E]); the persistent compilation cache makes that a one-time cost.  Call
+``setup_cache()`` before the first jit -- the CLI, bench, and graft entry all
+do.
+"""
+from __future__ import annotations
+
+import os
+
+_DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".jax_cache")
+
+
+def setup_cache(cache_dir: str | None = None) -> None:
+    import jax
+
+    cache_dir = cache_dir or os.environ.get("VULCAN_TPU_CACHE", _DEFAULT_CACHE)
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older/newer jax config names; cache is an optimization only
