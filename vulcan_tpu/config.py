@@ -22,10 +22,13 @@ class Config:
     block_size: int = 8                # voxels per block edge (8^3 blocks)
     num_blocks: int = 65536            # capacity of voxel-block storage
     hash_size: int = 262144            # open-addressed table slots (power of 2)
-    max_probes: int = 16               # linear-probe bound for lookup/insert
+    max_probes: int = 8                # linear-probe bound for lookup/insert
     max_visible: int = 16384           # capacity of the visible-block list
     alloc_samples: int = 8             # ray samples in [d-mu, d+mu] per pixel
     alloc_subsample: int = 2           # allocate from every Nth pixel (x and y)
+    alloc_capacity: int = 8192         # max new+touched unique blocks per frame
+    range_scale: int = 16              # coarse min/max range image downscale
+    range_stamp: int = 8               # per-block stamp size in coarse cells
 
     # --- integration ---
     depth_min: float = 0.1             # valid depth range (meters)
