@@ -1,0 +1,116 @@
+"""Config-4 tests (BASELINE.json): projective ICP pose recovery.
+
+Reference test pattern (SURVEY.md §5): perturb a pose, check ICP recovers it.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vulcan_tpu.config import TINY
+from vulcan_tpu.core.camera import PinholeCamera
+from vulcan_tpu.core.frame import make_frame
+from vulcan_tpu.core.se3 import SE3
+from vulcan_tpu.io.synthetic import look_at, render_scene_depth
+from vulcan_tpu.ops import icp
+from vulcan_tpu.ops.preprocess import build_pyramid
+
+CFG = dataclasses.replace(TINY, icp_iters=(6, 6, 10))
+CAM = PinholeCamera.create(160.0, 160.0, 99.5, 74.5)
+H, W = 150, 200
+# A scene with enough geometry to constrain all 6 DoF.
+SPHERES = (
+    ((0.0, 0.0, 0.0), 0.5),
+    ((0.6, 0.3, 0.2), 0.25),
+    ((-0.5, 0.4, -0.1), 0.3),
+)
+FLOOR = -0.6
+
+
+def scene_frame(pose):
+    depth, color = render_scene_depth(CAM, pose, H, W, SPHERES, FLOOR)
+    return make_frame(depth, color, CAM, pose)
+
+
+def run_track(true_pose, init_pose, mode="depth"):
+    frame_model = scene_frame(true_pose)
+    # Model maps from the ground-truth pose'd frame (simulating a perfect
+    # raycast of the fused volume).
+    pyr_model = build_pyramid(frame_model, CFG)
+    model_pyr = tuple(
+        icp.model_from_frame_maps(m, true_pose) for m in pyr_model
+    )
+    # The live frame IS the same view; tracking starts from a wrong pose
+    # and must converge back to true_pose.
+    live_pyr = build_pyramid(frame_model, CFG)
+    fn = jax.jit(icp.track, static_argnums=(3, 4))
+    return fn(live_pyr, model_pyr, init_pose, CFG, mode)
+
+
+def pose_error(a: SE3, b: SE3):
+    """(rot_deg, trans_m) between two poses."""
+    d = a.inverse() @ b
+    xi = np.asarray(d.log())
+    return (
+        np.linalg.norm(xi[:3]) * 180 / np.pi,
+        np.linalg.norm(np.asarray(a.translation) - np.asarray(b.translation)),
+    )
+
+
+def test_icp_recovers_small_perturbation():
+    true_pose = look_at((1.4, 0.3, 0.5), (0.0, 0.0, 0.0))
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        xi = np.concatenate(
+            [rng.uniform(-0.03, 0.03, 3), rng.uniform(-0.02, 0.02, 3)]
+        )
+        init = SE3.exp(jnp.asarray(xi, jnp.float32)) @ true_pose
+        res = run_track(true_pose, init)
+        rot_err, t_err = pose_error(res.pose, true_pose)
+        assert rot_err < 0.15, f"case {i}: rot {rot_err}"
+        assert t_err < 0.003, f"case {i}: trans {t_err}"
+        assert bool(res.valid)
+
+
+def test_icp_recovers_larger_perturbation():
+    """SURVEY §5: converges from perturbations up to ~(5 deg, 5 cm)."""
+    true_pose = look_at((1.5, -0.2, 0.4), (0.0, 0.0, 0.0))
+    xi = np.asarray([0.05, -0.06, 0.04, 0.03, -0.04, 0.03])  # ~5 deg, 6 cm
+    init = SE3.exp(jnp.asarray(xi, jnp.float32)) @ true_pose
+    res = run_track(true_pose, init)
+    rot_err, t_err = pose_error(res.pose, true_pose)
+    assert rot_err < 0.3
+    assert t_err < 0.01
+
+
+def test_icp_identity_stays_put():
+    true_pose = look_at((1.4, 0.3, 0.5), (0.0, 0.0, 0.0))
+    res = run_track(true_pose, true_pose)
+    rot_err, t_err = pose_error(res.pose, true_pose)
+    assert rot_err < 0.05
+    assert t_err < 0.001
+
+
+def test_icp_combined_mode_converges():
+    true_pose = look_at((1.4, 0.2, 0.6), (0.0, 0.0, 0.0))
+    xi = np.asarray([0.02, -0.02, 0.02, 0.02, -0.02, 0.01])
+    init = SE3.exp(jnp.asarray(xi, jnp.float32)) @ true_pose
+    res = run_track(true_pose, init, mode="combined")
+    rot_err, t_err = pose_error(res.pose, true_pose)
+    assert rot_err < 0.3
+    assert t_err < 0.005
+
+
+def test_icp_reports_invalid_without_data():
+    true_pose = look_at((1.4, 0.3, 0.5), (0.0, 0.0, 0.0))
+    empty = make_frame(jnp.zeros((H, W)), camera=CAM, pose=true_pose)
+    live_pyr = build_pyramid(empty, CFG)
+    model_pyr = tuple(
+        icp.model_from_frame_maps(m, true_pose) for m in live_pyr
+    )
+    res = icp.track(live_pyr, model_pyr, true_pose, CFG)
+    assert not bool(res.valid)
+    # Pose unchanged when there are no constraints.
+    rot_err, t_err = pose_error(res.pose, true_pose)
+    assert rot_err < 1e-5 and t_err < 1e-6

@@ -50,7 +50,10 @@ class Config:
     icp_iters: tuple[int, ...] = (4, 5, 10)     # per level, fine -> coarse
     icp_dist_thresh: float = 0.1       # association gates (meters / cos angle)
     icp_normal_thresh: float = 0.8
-    icp_damping: float = 1e-6          # Levenberg damping on the 6x6 solve
+    icp_damping: float = 1e-4          # relative Levenberg damping on the 6x6
+    icp_huber_delta: float = 0.03      # Huber width for point-to-plane (m)
+    rgb_weight: float = 0.1            # photometric term weight ("combined")
+    rgb_huber_delta: float = 0.1       # Huber width for intensity residuals
 
     # --- mesh extraction ---
     max_mesh_triangles: int = 2_000_000
