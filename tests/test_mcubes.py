@@ -1,0 +1,156 @@
+"""Config-5 mesh tests: colored marching cubes on the hashed volume.
+
+SURVEY.md §5: MC on canonical cube configurations (table invariants over all
+256 cases) + geometric golden tests on an analytic sphere.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vulcan_tpu.config import TINY
+from vulcan_tpu.core.camera import PinholeCamera
+from vulcan_tpu.core.frame import make_frame
+from vulcan_tpu.io.synthetic import orbit_poses, render_sphere_depth
+from vulcan_tpu.ops import allocate, blocks, mcubes, sparse
+from vulcan_tpu.ops import mc_tables as T
+
+CFG = dataclasses.replace(TINY, voxel_size=0.02, trunc_dist=0.08)
+CAM = PinholeCamera.create(120.0, 120.0, 79.5, 59.5)
+H, W = 120, 160
+CENTER = (0.0, 0.0, 0.0)
+RADIUS = 0.5
+
+
+def test_table_invariants_all_256():
+    """Every emitted edge must straddle inside/outside; counts consistent."""
+    for config in range(256):
+        inside = [(config >> i) & 1 for i in range(8)]
+        row = T.TRI_TABLE[config]
+        n = T.NUM_TRIS[config]
+        assert np.all(row[3 * n :] == -1)
+        used = row[: 3 * n]
+        assert np.all(used >= 0)
+        for e in used:
+            a, b = T.EDGE_ENDPOINTS[e]
+            assert inside[a] != inside[b], (config, e)
+        # NOTE: complement parity (NUM_TRIS[c] == NUM_TRIS[~c]) does NOT
+        # hold: the ambiguous-face rule intentionally separates *inside*
+        # corners, which is asymmetric under complement -- that asymmetry is
+        # what makes adjacent cubes agree (watertightness is tested below).
+    assert T.NUM_TRIS[0] == 0 and T.NUM_TRIS[255] == 0
+    assert T.NUM_TRIS[1] == 1  # single corner -> single triangle
+
+
+def full_coverage_poses(n_ring=8):
+    """Rings at three latitudes + both poles: covers the whole sphere."""
+    from vulcan_tpu.io.synthetic import look_at
+
+    poses = []
+    for height in (-1.0, 0.0, 1.0):
+        poses += orbit_poses(n_ring, CENTER, radius=1.3, height=height)
+    poses.append(look_at((0.01, 0.0, 1.7), CENTER))
+    poses.append(look_at((0.01, 0.0, -1.7), CENTER))
+    return poses
+
+
+def fused_sphere_volume_full(n_ring=8):
+    vol = blocks.create_volume(CFG)
+    for pose in full_coverage_poses(n_ring):
+        depth, color = render_sphere_depth(CAM, pose, H, W, CENTER, RADIUS)
+        frame = make_frame(depth, color, CAM, pose)
+        vol = allocate.allocate_for_frame(vol, frame.depth, CAM, pose, CFG)
+        vol = allocate.update_visibility(vol, CAM, pose, H, W, CFG)
+        vol = sparse.integrate_sparse(vol, frame, CFG)
+    return vol
+
+
+def fused_sphere_volume(n_views=10):
+    vol = blocks.create_volume(CFG)
+    for pose in orbit_poses(n_views, CENTER, radius=1.6, height=0.2):
+        depth, color = render_sphere_depth(CAM, pose, H, W, CENTER, RADIUS)
+        frame = make_frame(depth, color, CAM, pose)
+        vol = allocate.allocate_for_frame(vol, frame.depth, CAM, pose, CFG)
+        vol = allocate.update_visibility(vol, CAM, pose, H, W, CFG)
+        vol = sparse.integrate_sparse(vol, frame, CFG)
+    return vol
+
+
+def test_sphere_mesh_geometry_and_color():
+    vol = fused_sphere_volume_full()
+    mesh = jax.jit(mcubes.extract_mesh, static_argnums=1)(vol, CFG)
+    count = int(mesh.count)
+    assert count > 500
+    assert int(mesh.overflow) == 0
+    tris = np.asarray(mesh.positions[:count])
+    cols = np.asarray(mesh.colors[:count])
+
+    # Vertices lie on the sphere within ~a voxel.
+    verts = tris.reshape(-1, 3)
+    r = np.linalg.norm(verts - np.asarray(CENTER), axis=-1)
+    err = np.abs(r - RADIUS)
+    assert np.median(err) < 0.5 * CFG.voxel_size
+    assert np.mean(err) < CFG.voxel_size
+
+    # Signed volume close to analytic (orientation + topology check).
+    v = tris
+    vol6 = np.einsum("ij,ij->i", v[:, 0], np.cross(v[:, 1], v[:, 2]))
+    signed = vol6.sum() / 6.0
+    true = 4 / 3 * np.pi * RADIUS**3
+    assert abs(signed - true) / true < 0.05, (signed, true)
+
+    # Colors approximate the procedural texture at vertex positions.
+    from vulcan_tpu.io.synthetic import procedural_color
+
+    c_true = np.asarray(procedural_color(jnp.asarray(verts)))
+    assert np.mean(np.abs(cols.reshape(-1, 3) - c_true)) < 0.15
+
+
+def test_mesh_watertight_on_closed_surface():
+    from collections import Counter
+
+    from vulcan_tpu.io.ply import weld_vertices
+
+    vol = fused_sphere_volume_full()
+    mesh = mcubes.extract_mesh(vol, CFG)
+    count = int(mesh.count)
+    verts, _, faces = weld_vertices(
+        np.asarray(mesh.positions[:count]), np.asarray(mesh.colors[:count])
+    )
+    cnt = Counter()
+    for f in faces:
+        for i in range(3):
+            a, b = f[i], f[(i + 1) % 3]
+            cnt[(min(a, b), max(a, b))] += 1
+    shared = np.asarray(list(cnt.values()))
+    # Full coverage -> closed surface: every edge shared by exactly 2 tris.
+    assert (shared == 2).mean() > 0.995
+
+
+def test_ply_roundtrip(tmp_path):
+    from vulcan_tpu.io.ply import read_ply, write_ply
+
+    vol = fused_sphere_volume(4)
+    mesh = mcubes.extract_mesh(vol, CFG)
+    count = int(mesh.count)
+    path = str(tmp_path / "mesh.ply")
+    write_ply(path, np.asarray(mesh.positions[:count]), np.asarray(mesh.colors[:count]))
+    verts, cols, faces = read_ply(path)
+    assert len(faces) == count
+    assert len(verts) < 3 * count  # welding actually deduplicates
+    # Welded geometry is preserved.
+    orig = np.asarray(mesh.positions[:count]).reshape(-1, 3)
+    assert np.allclose(
+        np.sort(np.unique(np.round(verts, 5), axis=0), axis=0).mean(),
+        np.sort(np.unique(np.round(orig, 5), axis=0), axis=0).mean(),
+        atol=1e-4,
+    )
+
+
+def test_overflow_is_reported():
+    cfg_small = dataclasses.replace(CFG, max_mesh_triangles=100)
+    vol = fused_sphere_volume(4)
+    mesh = mcubes.extract_mesh(vol, cfg_small)
+    assert int(mesh.count) == 100
+    assert int(mesh.overflow) > 0
