@@ -1,0 +1,92 @@
+"""Headline benchmark: track+fuse+raycast FPS at 640x480 (BASELINE.json).
+
+Runs the full online pipeline (the same jitted ``fusion.step`` the CLI
+uses) on a synthetic 640x480 orbit sequence -- TUM fr1_desk itself is not
+downloadable in this environment (SURVEY.md §0), so the workload mirrors
+its geometry: production config (8 mm voxels, 4 cm truncation band,
+65536-block hash volume), full ICP tracking, per-frame allocation,
+integration and raycast.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": fps, "unit": "fps", "vs_baseline": fps/30}
+vs_baseline is against the 30 FPS north-star target (no published CUDA
+numbers were retrievable; BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main():
+    from vulcan_tpu.utils.runtime import setup_cache
+
+    setup_cache()
+
+    import jax
+    import numpy as np
+
+    from vulcan_tpu.config import Config
+    from vulcan_tpu.core.camera import PinholeCamera
+    from vulcan_tpu.io.synthetic import orbit_poses, render_scene_depth
+    from vulcan_tpu.pipeline import fusion
+
+    h, w = 480, 640
+    config = Config()
+    camera = PinholeCamera.tum_default()
+    spheres = (
+        ((0.0, 0.0, 0.0), 0.5),
+        ((0.6, 0.3, 0.2), 0.25),
+        ((-0.5, 0.4, -0.1), 0.3),
+        ((0.2, -0.5, 0.3), 0.2),
+    )
+
+    n_warm, n_bench = 5, 30
+    n_total = n_warm + n_bench
+    poses = orbit_poses(
+        n_total, radius=1.6, height=0.35, span=min(6.28, n_total * 0.05)
+    )
+    print("rendering input frames...", file=sys.stderr)
+    frames = []
+    for pose in poses:
+        depth, color = render_scene_depth(camera, pose, h, w, spheres, -0.6)
+        frames.append(
+            (np.asarray(depth), np.asarray(color))
+        )
+
+    state = fusion.init_state(config, camera, h, w, init_pose=poses[0])
+
+    print("compiling + warmup...", file=sys.stderr)
+    for i in range(n_warm):
+        d, c = frames[i]
+        state = fusion.step(state, d, c, config)
+    jax.block_until_ready(state.model.depth)
+
+    print("benchmarking...", file=sys.stderr)
+    t0 = time.perf_counter()
+    for i in range(n_warm, n_warm + n_bench):
+        d, c = frames[i]
+        state = fusion.step(state, d, c, config)
+    jax.block_until_ready(state.model.depth)
+    dt = time.perf_counter() - t0
+    fps = n_bench / dt
+
+    # Sanity: the tracked pipeline must actually have fused + tracked.
+    assert int(state.volume.free_count) > 100
+    assert int(state.track_inliers) > 1000, int(state.track_inliers)
+
+    print(
+        json.dumps(
+            {
+                "metric": "track+fuse+raycast FPS @ 640x480 (synthetic orbit, full ICP)",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / 30.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,195 @@
+"""End-to-end tests: BASELINE.json configs 4-5 -- the closed tracking loop
+(track + fuse + raycast) and the full pipeline with mesh extraction,
+driven through the public five-class API.
+"""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from vulcan_tpu import (
+    Config,
+    Extractor,
+    Integrator,
+    Pipeline,
+    PinholeCamera,
+    Tracer,
+    Tracker,
+    Volume,
+    make_frame,
+)
+from vulcan_tpu.config import TINY
+from vulcan_tpu.io.synthetic import orbit_poses, render_scene_depth
+from vulcan_tpu.utils.evaluate import ate_rmse
+
+CFG = dataclasses.replace(
+    TINY,
+    voxel_size=0.015,
+    trunc_dist=0.06,
+    icp_iters=(4, 5, 8),
+    # The floor plane allocates blocks out to depth_max; needs more room
+    # than TINY's 2048-block budget.
+    num_blocks=8192,
+    hash_size=32768,
+    max_visible=8192,
+    depth_max=4.0,
+)
+CAM = PinholeCamera.create(160.0, 160.0, 99.5, 74.5)
+H, W = 150, 200
+SPHERES = (
+    ((0.0, 0.0, 0.0), 0.5),
+    ((0.6, 0.3, 0.2), 0.25),
+    ((-0.5, 0.4, -0.1), 0.3),
+)
+FLOOR = -0.6
+
+
+def scene(pose):
+    return render_scene_depth(CAM, pose, H, W, SPHERES, FLOOR)
+
+
+def test_closed_loop_tracking_ate():
+    """Config 4: ICP tracking closed with fusion on a synthetic orbit; the
+    estimated trajectory must stay within millimeters of ground truth."""
+    n = 16
+    poses = orbit_poses(n, (0.0, 0.0, 0.0), radius=1.6, height=0.35,
+                        span=0.9 * np.pi)
+    pipe = Pipeline(CFG, CAM, H, W, init_pose=poses[0])
+    est, gt = [], []
+    for pose in poses:
+        depth, color = scene(pose)
+        pipe.process(depth, color)  # NO pose given: tracker must find it
+        est.append(np.asarray(pipe.pose.translation))
+        gt.append(np.asarray(pose.translation))
+    diag = pipe.diagnostics()
+    assert diag["frame"] == n
+    assert diag["track_inliers"] > 1000
+    assert diag["alloc_overflow"] == 0
+
+    rmse = ate_rmse(np.stack(est), np.stack(gt))
+    # Frame-to-frame motion here is ~18 cm -- aggressive; a few mm ATE
+    # shows the whole loop (track -> fuse -> raycast -> track) is stable.
+    assert rmse < 0.01, f"ATE RMSE {rmse:.4f} m"
+
+
+def test_full_pipeline_with_mesh(tmp_path):
+    """Config 5: online pipeline + colored mesh extraction + PLY export."""
+    poses = orbit_poses(10, (0.0, 0.0, 0.0), radius=1.6, height=0.35,
+                        span=0.6 * np.pi)
+    pipe = Pipeline(CFG, CAM, H, W, init_pose=poses[0])
+    for pose in poses:
+        depth, color = scene(pose)
+        pipe.process(depth, color)
+    count = pipe.export_ply(str(tmp_path / "scene.ply"))
+    assert count > 1000
+
+    mesh = pipe.extract_mesh()
+    tris = np.asarray(mesh.positions[: int(mesh.count)]).reshape(-1, 3)
+    # All mesh vertices near some scene surface: check against analytic SDF.
+    d = np.full(len(tris), np.inf)
+    for c, r in SPHERES:
+        d = np.minimum(d, np.abs(np.linalg.norm(tris - np.asarray(c), axis=1) - r))
+    d = np.minimum(d, np.abs(tris[:, 2] - FLOOR))
+    assert np.median(d) < CFG.voxel_size
+    assert np.mean(d) < 2 * CFG.voxel_size
+
+
+def test_five_class_api_flow(tmp_path):
+    """The reference-style explicit flow: Volume + Integrator + Tracer +
+    Tracker + Extractor wired manually (SURVEY.md §4 call stacks)."""
+    volume = Volume(CFG)
+    integrator = Integrator(volume)
+    tracer = Tracer(volume)
+    tracker = Tracker(CFG)
+    extractor = Extractor(volume)
+
+    poses = orbit_poses(6, (0.0, 0.0, 0.0), radius=1.6, height=0.35,
+                        span=0.4 * np.pi)
+    # Frame 0: integrate at known init pose.
+    depth, color = scene(poses[0])
+    frame = make_frame(depth, color, CAM, poses[0])
+    integrator.integrate(frame)
+    assert volume.num_allocated > 20
+    assert volume.num_visible == volume.num_allocated
+
+    pose = poses[0]
+    for true_pose in poses[1:]:
+        model = tracer.trace(CAM, pose, H, W)
+        depth, color = scene(true_pose)
+        live = make_frame(depth, color, CAM, pose)
+        result = tracker.track(model, live, init_pose=pose)
+        pose = result.pose
+        integrator.integrate(make_frame(depth, color, CAM, pose))
+        t_err = np.linalg.norm(
+            np.asarray(pose.translation) - np.asarray(true_pose.translation)
+        )
+        assert t_err < 0.02, f"tracking diverged: {t_err}"
+
+    n = extractor.export_ply(str(tmp_path / "mesh.ply"))
+    assert n > 500
+
+
+def test_volume_snapshot_roundtrip(tmp_path):
+    volume = Volume(CFG)
+    integrator = Integrator(volume)
+    pose = orbit_poses(1, radius=1.6)[0]
+    depth, color = scene(pose)
+    integrator.integrate(make_frame(depth, color, CAM, pose))
+    n_alloc = volume.num_allocated
+
+    path = str(tmp_path / "snap.npz")
+    volume.save(path)
+    fresh = Volume(CFG)
+    fresh.load(path)
+    assert fresh.num_allocated == n_alloc
+    np.testing.assert_array_equal(
+        np.asarray(fresh.state.tsdf), np.asarray(volume.state.tsdf)
+    )
+    # Resumed volume raycasts identically.
+    t1 = Tracer(volume).trace(CAM, pose, H, W)
+    t2 = Tracer(fresh).trace(CAM, pose, H, W)
+    np.testing.assert_allclose(
+        np.asarray(t1.depth), np.asarray(t2.depth), atol=1e-6
+    )
+
+
+def test_tum_dataset_reader(tmp_path):
+    """Reader parses a miniature TUM-format sequence (synthetic PNGs)."""
+    import cv2
+
+    root = tmp_path / "seq"
+    root.mkdir()
+    (root / "depth").mkdir()
+    (root / "rgb").mkdir()
+    from vulcan_tpu.io.synthetic import render_sphere_depth
+
+    pose = orbit_poses(1, radius=1.6)[0]
+    # Sphere only: bounded depth that fits uint16 at the 1/5000 m scale
+    # (the floor scene has unbounded grazing-angle depths).
+    depth, color = render_sphere_depth(CAM, pose, H, W, (0.0, 0.0, 0.0), 0.5)
+    d16 = (np.asarray(depth) * 5000).astype(np.uint16)
+    c8 = (np.asarray(color) * 255).astype(np.uint8)[..., ::-1]
+    with open(root / "depth.txt", "w") as f:
+        f.write("# ts file\n")
+        for i, t in enumerate([1.00, 1.05]):
+            cv2.imwrite(str(root / "depth" / f"{i}.png"), d16)
+            f.write(f"{t} depth/{i}.png\n")
+    with open(root / "rgb.txt", "w") as f:
+        for i, t in enumerate([1.001, 1.049]):
+            cv2.imwrite(str(root / "rgb" / f"{i}.png"), c8)
+            f.write(f"{t} rgb/{i}.png\n")
+    with open(root / "groundtruth.txt", "w") as f:
+        f.write("# ts tx ty tz qx qy qz qw\n")
+        f.write("1.0 0.1 0.2 0.3 0 0 0 1\n")
+        f.write("1.05 0.2 0.2 0.3 0 0 0 1\n")
+
+    from vulcan_tpu.io.tum import TumDataset
+
+    ds = TumDataset(str(root))
+    assert len(ds) == 2
+    d, c, gt = ds.load(0)
+    np.testing.assert_allclose(d, np.asarray(depth), atol=1e-3)
+    assert c.shape == d.shape + (3,)
+    np.testing.assert_allclose(
+        np.asarray(gt.translation), [0.1, 0.2, 0.3], atol=1e-6
+    )

@@ -43,6 +43,15 @@ def write_ply(
     if colors is None:
         colors = np.full_like(positions, 0.7)
     colors = np.asarray(colors, np.float32)
+    # Prefer the native writer (O(n) hash weld) when built.
+    try:
+        from .. import native
+
+        if native.available() and len(positions):
+            native.ply_write(path, positions, colors, weld=weld)
+            return
+    except Exception:
+        pass
     if weld and len(positions):
         verts, vcols, faces = weld_vertices(positions, colors)
     else:

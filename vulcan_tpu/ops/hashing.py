@@ -20,6 +20,9 @@ Table layout (structure-of-arrays, all static shapes):
 The hash function is the InfiniTAM spatial hash
 ``(x * 73856093 ^ y * 19349669 ^ z * 83492791) mod hash_size``
 [P:1410.0925], with hash_size a power of two so the mod is a mask.
+Probing is *triangular* (slot0 + p(p+1)/2), which visits every slot of a
+power-of-two table and avoids the primary clustering that made bounded
+linear probing overflow at ~0.25 load.
 """
 from __future__ import annotations
 
@@ -42,6 +45,11 @@ def hash_coords(coords: jax.Array, hash_size: int) -> jax.Array:
     return (h & jnp.uint32(hash_size - 1)).astype(jnp.int32)
 
 
+def probe_slot(slot0: jax.Array, p: int, hash_size: int) -> jax.Array:
+    """p-th probe position: triangular probing, full-cycle on 2^k tables."""
+    return (slot0 + (p * (p + 1)) // 2) & (hash_size - 1)
+
+
 def lookup(
     keys: jax.Array,
     values: jax.Array,
@@ -60,7 +68,7 @@ def lookup(
     result = jnp.full(coords.shape[:-1], -1, jnp.int32)
     live = jnp.ones(coords.shape[:-1], bool)  # still probing
     for p in range(config.max_probes):
-        slot = (slot0 + p) & (hs - 1)
+        slot = probe_slot(slot0, p, hs)
         k = keys[slot]          # (..., 3)
         empty = k[..., 0] == EMPTY_KEY
         match = jnp.all(k == coords, axis=-1) & ~empty
@@ -122,7 +130,7 @@ def insert_unique(
     # so a Python loop of vectorized scatter rounds keeps XLA happy.
     claimed_slot = jnp.full((n,), -1, jnp.int32)
     for p in range(config.max_probes):
-        slot = (slot0 + p) & (hs - 1)
+        slot = probe_slot(slot0, p, hs)
         slot_empty = keys[slot][..., 0] == EMPTY_KEY
         # Occupied-by-our-own-coord can't happen: caller deduped + we
         # resolved pre-existing keys above.

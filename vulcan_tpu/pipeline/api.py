@@ -1,0 +1,241 @@
+"""Public five-class pipeline API: Volume, Integrator, Tracer, Tracker,
+Extractor (+ the online Pipeline driver).
+
+BASELINE.json names these five classes verbatim as the API surface to match
+(SURVEY.md §1).  They are thin object wrappers over the pure-functional ops
+(all real state is pytrees; every method is jit-backed), so users of the
+CUDA reference find the same vocabulary while the TPU-native core stays
+functional.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..core.camera import PinholeCamera
+from ..core.frame import Frame, make_frame
+from ..core.se3 import SE3
+from ..ops import allocate as _allocate
+from ..ops import blocks as B
+from ..ops import icp as _icp
+from ..ops import mcubes as _mcubes
+from ..ops import raycast as _raycast
+from ..ops import sparse as _sparse
+from ..ops.preprocess import build_pyramid
+from . import fusion
+
+
+class Volume:
+    """Sparse voxel-block TSDF volume (reference ``Volume``, component #14).
+
+    Owns the voxel storage + hash table + visible list.  The reference's
+    ``SetTruncationLength`` / voxel-size setters become constructor-time
+    config (config is static under jit; changing it recompiles).
+    """
+
+    def __init__(self, config: Config = Config()):
+        self.config = config
+        self.state = B.create_volume(config)
+
+    # -- setters mirrored from the reference API (return new Volume) --
+    def set_truncation_length(self, mu: float) -> "Volume":
+        self.config = dataclasses.replace(self.config, trunc_dist=float(mu))
+        return self
+
+    def set_voxel_size(self, vs: float) -> "Volume":
+        self.config = dataclasses.replace(self.config, voxel_size=float(vs))
+        return self
+
+    @property
+    def num_allocated(self) -> int:
+        return int(self.state.free_count) - 1
+
+    @property
+    def num_visible(self) -> int:
+        return int(self.state.num_visible)
+
+    def allocate(self, frame: Frame) -> None:
+        """Allocate blocks in the frame's truncation band + update the
+        visible list (reference allocation + visibility passes)."""
+        h, w = frame.depth.shape
+        self.state = _allocate.allocate_for_frame(
+            self.state, frame.depth, frame.camera, frame.pose, self.config
+        )
+        self.state = _allocate.update_visibility(
+            self.state, frame.camera, frame.pose, h, w, self.config
+        )
+
+    def update_visibility(self, camera, pose, height, width) -> None:
+        self.state = _allocate.update_visibility(
+            self.state, camera, pose, height, width, self.config
+        )
+
+    # -- persistence (SURVEY.md §6 checkpoint/resume) --
+    def save(self, path: str) -> None:
+        """Snapshot the full volume state to one .npz file."""
+        leaves, treedef = jax.tree_util.tree_flatten(self.state)
+        np.savez_compressed(
+            path, *[np.asarray(leaf) for leaf in leaves]
+        )
+
+    def load(self, path: str) -> None:
+        data = np.load(path)
+        leaves, treedef = jax.tree_util.tree_flatten(self.state)
+        new_leaves = [
+            jnp.asarray(data[f"arr_{i}"]) for i in range(len(leaves))
+        ]
+        self.state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+class Integrator:
+    """Depth + color TSDF fusion (reference ``Integrator``, component #15)."""
+
+    def __init__(self, volume: Volume):
+        self.volume = volume
+
+    def integrate(self, frame: Frame) -> None:
+        """Allocate, update visibility, and fuse one posed frame."""
+        self.volume.allocate(frame)
+        self.volume.state = _sparse.integrate_sparse(
+            self.volume.state, frame, self.volume.config
+        )
+
+
+class Tracer:
+    """Raycast renderer (reference ``Tracer``, component #16)."""
+
+    def __init__(self, volume: Volume):
+        self.volume = volume
+
+    def trace(
+        self,
+        camera: PinholeCamera,
+        pose: SE3,
+        height: int,
+        width: int,
+        update_visibility: bool = True,
+        normals: str = "cross",
+    ) -> _raycast.Render:
+        if update_visibility:
+            self.volume.update_visibility(camera, pose, height, width)
+        return _raycast.raycast(
+            self.volume.state, camera, pose, height, width,
+            self.volume.config, normals,
+        )
+
+
+class Tracker:
+    """Frame-to-model ICP (reference ``Tracker``/``DepthTracker``/
+    ``ColorTracker``, component #17).  ``mode``: depth | color | combined."""
+
+    def __init__(self, config: Config = Config(), mode: str = "depth"):
+        self.config = config
+        self.mode = mode
+
+    def track(
+        self,
+        model: _raycast.Render,
+        live_frame: Frame,
+        init_pose: SE3 | None = None,
+    ) -> _icp.TrackResult:
+        init = init_pose if init_pose is not None else model.pose
+        live_pyr = build_pyramid(live_frame, self.config)
+        model_pyr = _icp.model_pyramid(model, self.config.pyramid_levels)
+        return _icp.track(live_pyr, model_pyr, init, self.config, self.mode)
+
+
+class Extractor:
+    """Colored marching-cubes mesher (reference ``Extractor``, #18)."""
+
+    def __init__(self, volume: Volume):
+        self.volume = volume
+
+    def extract(self) -> _mcubes.Mesh:
+        return _mcubes.extract_mesh(self.volume.state, self.volume.config)
+
+    def export_ply(self, path: str, weld: bool = True) -> int:
+        """Extract and write a PLY; returns the triangle count."""
+        from ..io.ply import write_ply
+
+        mesh = self.extract()
+        count = int(mesh.count)
+        write_ply(
+            path,
+            np.asarray(mesh.positions[:count]),
+            np.asarray(mesh.colors[:count]),
+            weld=weld,
+        )
+        return count
+
+
+class Pipeline:
+    """Full online loop: track + fuse + raycast per frame (L8).
+
+    The hot path is ``fusion.step`` -- one donated jit call per frame.
+    """
+
+    def __init__(
+        self,
+        config: Config,
+        camera: PinholeCamera,
+        height: int,
+        width: int,
+        init_pose: SE3 | None = None,
+        mode: str = "depth",
+    ):
+        self.config = config
+        self.height = height
+        self.width = width
+        self.mode = mode
+        self.state = fusion.init_state(config, camera, height, width, init_pose)
+
+    def process(self, depth, color=None, pose: SE3 | None = None) -> None:
+        """Feed one frame.  With ``pose`` given, runs fusion-only."""
+        depth = jnp.asarray(depth, jnp.float32)
+        if color is None:
+            color = jnp.zeros(depth.shape + (3,), jnp.float32)
+        color = jnp.asarray(color, jnp.float32)
+        if pose is not None:
+            self.state = fusion.step_known_pose(
+                self.state, depth, color, pose, self.config
+            )
+        else:
+            self.state = fusion.step(
+                self.state, depth, color, self.config, self.mode
+            )
+
+    @property
+    def pose(self) -> SE3:
+        return self.state.pose
+
+    def diagnostics(self) -> dict:
+        s = self.state
+        return {
+            "frame": int(s.frame_idx),
+            "track_error": float(s.track_error),
+            "track_inliers": int(s.track_inliers),
+            "allocated_blocks": int(s.volume.free_count) - 1,
+            "visible_blocks": int(s.volume.num_visible),
+            "alloc_overflow": int(s.volume.alloc_overflow),
+            "visible_overflow": int(s.volume.visible_overflow),
+        }
+
+    def extract_mesh(self) -> _mcubes.Mesh:
+        return _mcubes.extract_mesh(self.state.volume, self.config)
+
+    def export_ply(self, path: str) -> int:
+        from ..io.ply import write_ply
+
+        mesh = self.extract_mesh()
+        count = int(mesh.count)
+        write_ply(
+            path,
+            np.asarray(mesh.positions[:count]),
+            np.asarray(mesh.colors[:count]),
+        )
+        return count

@@ -1,0 +1,166 @@
+"""The fused online reconstruction step.
+
+This is the rebuild of the reference's per-frame app loop (SURVEY.md §2 L8,
+§4: track -> allocate -> integrate -> raycast), with the crucial TPU-native
+difference (SURVEY.md §4 "rebuild goal"): the entire per-frame pipeline is
+ONE jitted, donated function ``step(state, depth, color) -> state`` with
+zero device->host syncs -- the reference launches ~dozens of kernels per
+frame and reads back the ICP system every GN iteration.
+
+Stages inside one ``step``:
+  1. preprocess: bilateral filter + vertex/normal lift + pyramids (L2);
+  2. track: coarse-to-fine projective ICP against the previous raycast
+     (L6; skips cleanly when the model is empty -- frame 0 keeps its init
+     pose);
+  3. allocate + visibility: batched block allocation for the tracked pose
+     (L3);
+  4. integrate: visible-block TSDF+color fusion (L4);
+  5. raycast: render the new model maps for the next frame's tracker (L5).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..core.camera import PinholeCamera
+from ..core.frame import Frame
+from ..core.se3 import SE3
+from ..ops import allocate, icp, raycast, sparse
+from ..ops import blocks as B
+from ..ops.preprocess import build_pyramid
+from ..utils.pytree import pytree_dataclass
+
+
+@pytree_dataclass
+class PipelineState:
+    """State carried across frames.
+
+    The current pose estimate lives in ``model.pose`` (the raycast pose is
+    always the tracked pose of the same frame); storing it twice would
+    alias buffers and break jit donation.
+    """
+
+    volume: B.VolumeState
+    model: raycast.Render      # last rendered model maps (pose = current)
+    frame_idx: jax.Array       # () int32
+    track_error: jax.Array     # () f32, last ICP robust rms
+    track_inliers: jax.Array   # () int32
+
+    @property
+    def pose(self) -> SE3:
+        return self.model.pose
+
+
+def init_state(
+    config: Config,
+    camera: PinholeCamera,
+    height: int,
+    width: int,
+    init_pose: SE3 | None = None,
+) -> PipelineState:
+    pose = init_pose if init_pose is not None else SE3.identity()
+    empty = raycast.Render(
+        depth=jnp.zeros((height, width)),
+        vertex_world=jnp.zeros((height, width, 3)),
+        normal_world=jnp.zeros((height, width, 3)),
+        color=jnp.zeros((height, width, 3)),
+        valid=jnp.zeros((height, width), bool),
+        camera=camera,
+        pose=pose,
+    )
+    state = PipelineState(
+        volume=B.create_volume(config),
+        model=empty,
+        frame_idx=jnp.asarray(0, jnp.int32),
+        track_error=jnp.asarray(0.0, jnp.float32),
+        track_inliers=jnp.asarray(0, jnp.int32),
+    )
+    # Deep-copy every leaf: jax caches small constants, so identical zeros
+    # would alias one buffer and `donate_argnames` would see the same
+    # buffer twice.
+    return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
+
+
+def _fuse_and_render(volume, frame: Frame, filtered_depth, config, h, w):
+    volume = allocate.allocate_for_frame(
+        volume, filtered_depth, frame.camera, frame.pose, config
+    )
+    volume = allocate.update_visibility(
+        volume, frame.camera, frame.pose, h, w, config
+    )
+    volume = sparse.integrate_sparse(volume, frame, config)
+    render = raycast.raycast(
+        volume, frame.camera, frame.pose, h, w, config
+    )
+    return volume, render
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "mode"),
+    donate_argnames=("state",),
+)
+def step(
+    state: PipelineState,
+    depth: jax.Array,
+    color: jax.Array,
+    config: Config,
+    mode: str = "depth",
+) -> PipelineState:
+    """One online frame: track, fuse, raycast.  Fully on device."""
+    h, w = depth.shape
+    camera = state.model.camera
+    frame = Frame(depth, color, camera, state.pose)
+    live_pyr = build_pyramid(frame, config)
+
+    # --- track against the previous model (no-op when model is empty) ---
+    model_pyr = icp.model_pyramid(state.model, config.pyramid_levels)
+    result = icp.track(live_pyr, model_pyr, state.pose, config, mode)
+    pose = result.pose
+
+    # --- fuse + render with the tracked pose ---
+    tracked = Frame(depth, color, camera, pose)
+    volume, render = _fuse_and_render(
+        state.volume, tracked, live_pyr[0].depth, config, h, w
+    )
+    return dataclasses.replace(
+        state,
+        volume=volume,
+        model=render,
+        frame_idx=state.frame_idx + 1,
+        track_error=result.error,
+        track_inliers=result.inliers,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config",),
+    donate_argnames=("state",),
+)
+def step_known_pose(
+    state: PipelineState,
+    depth: jax.Array,
+    color: jax.Array,
+    pose: SE3,
+    config: Config,
+) -> PipelineState:
+    """Fusion-only frame with an externally supplied pose (BASELINE.json
+    configs 2-3 and evaluation with ground-truth trajectories)."""
+    h, w = depth.shape
+    camera = state.model.camera
+    frame = Frame(depth, color, camera, pose)
+    pyr = build_pyramid(frame, config)
+    volume, render = _fuse_and_render(
+        state.volume, frame, pyr[0].depth, config, h, w
+    )
+    return dataclasses.replace(
+        state,
+        volume=volume,
+        model=render,
+        frame_idx=state.frame_idx + 1,
+    )
