@@ -7,9 +7,9 @@ from vulcan_tpu.ops import hashing
 
 
 def empty_table(cfg):
-    keys = jnp.full((cfg.hash_size, 3), hashing.EMPTY_KEY, jnp.int32)
+    codes = jnp.full((cfg.hash_size,), hashing.EMPTY_CODE, jnp.int32)
     values = jnp.zeros((cfg.hash_size,), jnp.int32)
-    return keys, values
+    return codes, values
 
 
 def test_pack_unpack_roundtrip():

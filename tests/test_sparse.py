@@ -142,7 +142,7 @@ def test_range_image_bounds_surface():
     pose = orbit_poses(1, CENTER, radius=1.6, height=0.0)[0]
     vol = fuse(vol, sphere_frame(pose))
     vol = allocate.update_visibility(vol, CAM, pose, H, W, CFG)
-    t_min, t_max = raycast.compute_range_image(vol, CAM, pose, H, W, CFG)
+    t_min, _, t_max = raycast.compute_range_image(vol, CAM, pose, H, W, CFG)
     depth, _ = render_sphere_depth(CAM, pose, H, W, CENTER, RADIUS)
     d = np.asarray(depth)
     lo = np.asarray(t_min)

@@ -29,16 +29,22 @@ class Config:
     alloc_capacity: int = 8192         # max new+touched unique blocks per frame
     range_scale: int = 16              # coarse min/max range image downscale
     range_stamp: int = 8               # per-block stamp size in coarse cells
+    render_grid_size: int = 128        # dense block-coord grid for raycast
+                                       # (covers render_grid_size*block_extent
+                                       #  meters of visible scene per axis)
 
     # --- integration ---
+    integrate_chunk: int = 1024        # visible blocks fused per loop round
     depth_min: float = 0.1             # valid depth range (meters)
     depth_max: float = 5.0
 
     # --- raycast ---
     ray_near: float = 0.1
     ray_far: float = 5.0
-    raycast_steps: int = 192           # fixed trip count of the coarse march
-    refine_steps: int = 4              # secant refinement iterations
+    raycast_steps: int = 192           # total sample budget along each ray
+    raycast_chunk: int = 16            # samples gathered per march round
+    raycast_step_scale: float = 0.75   # sample spacing in units of mu
+    refine_steps: int = 3              # secant refinement iterations
 
     # --- bilateral filter ---
     bilateral_radius: int = 2

@@ -92,8 +92,8 @@ def allocate_for_frame(
     want = uniq != B.INVALID_CODE
     coords = B.unpack_block_coords(uniq)
 
-    keys, values, free_count, assigned, ok = hashing.insert_unique(
-        volume.hash_keys,
+    codes_t, values, free_count, assigned, ok = hashing.insert_unique(
+        volume.hash_codes,
         volume.hash_values,
         volume.free_count,
         coords,
@@ -108,7 +108,7 @@ def allocate_for_frame(
     overflow = volume.alloc_overflow + n_dropped + jnp.sum(~ok)
     return dataclasses.replace(
         volume,
-        hash_keys=keys,
+        hash_codes=codes_t,
         hash_values=values,
         free_count=free_count,
         block_coords=block_coords,

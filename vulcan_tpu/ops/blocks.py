@@ -6,7 +6,7 @@ InfiniTAM 8^3 voxel blocks [P:1410.0925]).  All storage is static-shape
 HBM-resident arrays:
 
   * voxel data: (num_blocks, 8, 8, 8[,3]) float32 -- block b, local (x,y,z);
-  * hash table: see ``ops/hashing.py`` (open addressing, SoA);
+  * hash table: see ``ops/hashing.py`` (open addressing, packed codes);
   * visible list: fixed capacity with a valid count (CUDA stream compaction
     becomes sort-based compaction, ``ops/allocate.py``).
 
@@ -38,8 +38,8 @@ COORD_BOUND = 512  # per-axis block coord in [-COORD_BOUND, COORD_BOUND)
 class VolumeState:
     """Sparse voxel-block TSDF volume (the reference's ``Volume`` state)."""
 
-    # hash table (SoA)
-    hash_keys: jax.Array      # (hash_size, 3) int32, EMPTY_KEY = empty
+    # hash table (packed-code open addressing)
+    hash_codes: jax.Array     # (hash_size,) int32, INVALID_CODE = empty
     hash_values: jax.Array    # (hash_size,) int32 block index
     free_count: jax.Array     # () int32, next free block index (starts at 1)
     # voxel storage
@@ -60,7 +60,7 @@ def create_volume(config: Config, dtype=jnp.float32) -> VolumeState:
     nb = config.num_blocks
     bs = config.block_size
     return VolumeState(
-        hash_keys=jnp.full((config.hash_size, 3), hashing.EMPTY_KEY, jnp.int32),
+        hash_codes=jnp.full((config.hash_size,), hashing.EMPTY_CODE, jnp.int32),
         hash_values=jnp.zeros((config.hash_size,), jnp.int32),
         free_count=jnp.asarray(1, jnp.int32),  # block 0 = null sentinel
         block_coords=jnp.zeros((nb, 3), jnp.int32),
@@ -123,7 +123,7 @@ def voxel_block_local(g: jax.Array, config: Config):
 def lookup_blocks(volume: VolumeState, block_coords: jax.Array, config: Config):
     """Hash-lookup block coords (...,3) -> block index (0 = null/missing)."""
     idx, found = hashing.lookup(
-        volume.hash_keys, volume.hash_values, block_coords, config
+        volume.hash_codes, volume.hash_values, block_coords, config
     )
     return jnp.where(found, idx, 0)
 

@@ -9,11 +9,14 @@ detection and trilinear refinement [P:1410.0925] [B]).  Structure:
      replacement for InfiniTAM's atomicMin/Max rasterization.  Blocks whose
      footprint exceeds the fixed stamp contribute to a conservative global
      range instead (never a silent miss).
-  2. **Fixed-trip-count march** (``raycast_steps``): nearest-voxel TSDF
-     sample per step via one hash lookup; step length adapts -- a block-size
-     skip through unallocated space, ``tsdf * mu`` inside allocated space
-     (clamped to >= 1 voxel).  Divergence-free: all lanes run all steps with
-     a ``done`` mask (SURVEY.md §7 hard part #1).
+  2. **Batched march**: the per-frame ``render_cache`` (dense block grid +
+     haloed visible blocks) makes each sample two dense gathers -- no hash
+     probing anywhere (the CUDA reference pays a bucket walk per step).
+     Instead of a per-step adaptive walk (latency-bound on TPU: every
+     gather would wait on the previous step), each round samples
+     ``raycast_chunk`` data-INDEPENDENT positions across the per-ray range
+     interval at once and scans for the first sign change -- the
+     TPU-native answer to march divergence (SURVEY.md §7 hard part #1).
   3. **Secant refinement** on trilinear samples, then world-space
      vertex/normal/color maps.  Normals come from the image-space cross
      product of the vertex map (KinectFusion-style) -- one pass, no extra
@@ -30,6 +33,7 @@ from ..core.camera import PinholeCamera
 from ..core.se3 import SE3
 from ..utils.pytree import pytree_dataclass
 from . import blocks as B
+from . import render_cache as RC
 
 
 @pytree_dataclass
@@ -55,9 +59,12 @@ def compute_range_image(
 ):
     """Per-pixel conservative [t_min, t_max] from visible-block AABBs.
 
-    Returns (t_min, t_max) at full resolution (upsampled from the coarse
-    grid).  Pixels no visible block projects to get an empty range
-    (t_min > t_max), so their rays never march.
+    Returns (t_min, t_first_max, t_max) at full resolution (upsampled from
+    the coarse grid).  ``t_first_max`` is the exit depth of the NEAREST
+    stamped block: the march sizes its round-1 sample spacing to the first
+    block's band, since that is where the surface almost always is.
+    Pixels no visible block projects to get an empty range (t_min > t_max),
+    so their rays never march.
     """
     sc = config.range_scale
     hc = -(-height // sc)
@@ -104,6 +111,7 @@ def compute_range_image(
     g_max = jnp.max(jnp.where(overflow, z_max, -jnp.inf))
 
     t_min = jnp.full((hc, wc), jnp.inf, jnp.float32)
+    t_fmax = jnp.full((hc, wc), jnp.inf, jnp.float32)
     t_max = jnp.full((hc, wc), -jnp.inf, jnp.float32)
     # Fixed stamp: st x st scatter-min/max rounds (vectorized over blocks).
     for dv in range(st):
@@ -126,6 +134,12 @@ def compute_range_image(
                 .min(jnp.where(inside, z_min, jnp.inf), mode="drop")
                 .reshape(hc, wc)
             )
+            t_fmax = (
+                t_fmax.reshape(-1)
+                .at[flat]
+                .min(jnp.where(inside, z_max, jnp.inf), mode="drop")
+                .reshape(hc, wc)
+            )
             t_max = (
                 t_max.reshape(-1)
                 .at[flat]
@@ -134,12 +148,14 @@ def compute_range_image(
             )
 
     t_min = jnp.where(any_overflow, jnp.minimum(t_min, g_min), t_min)
+    t_fmax = jnp.where(any_overflow, jnp.minimum(t_fmax, g_max), t_fmax)
     t_max = jnp.where(any_overflow, jnp.maximum(t_max, g_max), t_max)
 
     # Upsample to full resolution (nearest).
-    t_min_full = jnp.repeat(jnp.repeat(t_min, sc, 0), sc, 1)[:height, :width]
-    t_max_full = jnp.repeat(jnp.repeat(t_max, sc, 0), sc, 1)[:height, :width]
-    return t_min_full, t_max_full
+    def up(a):
+        return jnp.repeat(jnp.repeat(a, sc, 0), sc, 1)[:height, :width]
+
+    return up(t_min), up(t_fmax), up(t_max)
 
 
 def raycast(
@@ -151,105 +167,154 @@ def raycast(
     config: Config,
     normals: str = "cross",
 ) -> Render:
-    """Render model depth/vertex/normal/color maps from the sparse TSDF."""
+    """Render model depth/vertex/normal/color maps from the sparse TSDF.
+
+    Random-access budget per pixel (the scarce resource on TPU, see
+    render_cache.py): ~2S march gathers (S = raycast_chunk, one round
+    typical), 9 per trilinear refine round, 5 for nearest color.  All
+    coordinate math is planar (per-axis (H, W) arrays): (H, W, 3) arrays
+    in loop bodies force minor-dim-3 relayout copies that dominated early
+    profiles.
+    """
     vs = config.voxel_size
     mu = config.trunc_dist
-    rays_cam = camera.rays(height, width)                     # z = 1
+    rays_cam = camera.rays(height, width)
     rays_world = pose.rotate(rays_cam)
-    # March parametrized by z-depth t; metric step = t-step * |dir|.
-    dir_norm = jnp.linalg.norm(rays_world, axis=-1)
+    dx_ = rays_world[..., 0]
+    dy_ = rays_world[..., 1]
+    dz_ = rays_world[..., 2]
+    dir_norm = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
     inv_dir_norm = 1.0 / jnp.maximum(dir_norm, 1e-9)
     origin = pose.translation
+    ox, oy, oz = origin[0], origin[1], origin[2]
 
-    t_min, t_max = compute_range_image(
+    cache = RC.build(volume, config)
+    t_min, t_fmax, t_max = compute_range_image(
         volume, camera, pose, height, width, config
     )
     has_range = t_min <= t_max
 
-    block_step = 0.8 * config.block_extent * inv_dir_norm
-    trunc_step = mu * inv_dir_norm
-    voxel_step = vs * inv_dir_norm
+    # --- batched march -----------------------------------------------------
+    # TPU cost model (measured, tools/bench_gather_traced.py): random
+    # gathers run at ~130M/s and are latency-bound when chained, but
+    # pipeline fully when sample positions are data-independent.  Each
+    # round therefore gathers ``raycast_chunk`` equally spaced samples over
+    # the per-ray [t_min, t_max] interval (tight thanks to the range image)
+    # and scans for the first +to- sign change.  Per-ray spacing adapts to
+    # the interval so typical scenes finish in ONE round; a while_loop
+    # continues for long intervals, bounded by the ``raycast_steps`` budget.
+    S = config.raycast_chunk
+    n_rounds = -(-config.raycast_steps // S)
+    # Size round-1 spacing to the nearest block's band [t_min, t_fmax]:
+    # the surface is almost always inside the first block the ray enters.
+    span = jnp.maximum(t_fmax - t_min, 0.0)
+    spacing = jnp.clip(
+        span / S,
+        0.75 * vs * inv_dir_norm,
+        config.raycast_step_scale * mu * inv_dir_norm,
+    )                                                        # (H, W)
+    inv_vs = 1.0 / vs
+    offs = jnp.arange(S, dtype=jnp.float32)                  # (S,)
 
-    def sample_nearest(t):
-        p = origin + t[..., None] * rays_world
-        return B.sample_tsdf_nearest(volume, p, config)
-
-    def body(i, carry):
-        t, prev_t, prev_f, prev_obs, t_hit, t_before, done = carry
-        f, w = sample_nearest(t)
-        observed = w > 0.0
-        crossing = observed & prev_obs & (prev_f > 0.0) & (f <= 0.0) & ~done
-        t_hit = jnp.where(crossing, t, t_hit)
-        t_before = jnp.where(crossing, prev_t, t_before)
-        done = done | crossing | (t > t_max)
-        # Adaptive step: skip unallocated space at block granularity;
-        # inside allocated space step by the sampled TSDF (units of mu).
-        dt = jnp.where(
-            observed,
-            jnp.maximum(f * trunc_step, voxel_step),
-            block_step,
-        )
-        new_t = jnp.where(done, t, t + dt)
-        prev_f = jnp.where(observed, f, prev_f)
-        prev_obs = observed | (prev_obs & ~observed)  # keep last observation
-        return new_t, t, prev_f, prev_obs, t_hit, t_before, done
+    def sample_chunk(t_start):
+        """(H, W) start -> int8 march samples (H, W, S)."""
+        ts = t_start[..., None] + spacing[..., None] * offs
+        gx = jnp.round((ox + ts * dx_[..., None]) * inv_vs).astype(jnp.int32)
+        gy = jnp.round((oy + ts * dy_[..., None]) * inv_vs).astype(jnp.int32)
+        gz = jnp.round((oz + ts * dz_[..., None]) * inv_vs).astype(jnp.int32)
+        return RC.sample_march_texture(cache, gx, gy, gz, config)
 
     t0 = jnp.where(has_range, t_min, config.ray_far)
     shape = (height, width)
+
+    def cond(carry):
+        i, _, _, _, _, done = carry
+        return (i < n_rounds) & ~jnp.all(done)
+
+    def body(carry):
+        i, t_cur, last_m, t_hit, t_before, done = carry
+        m = sample_chunk(t_cur)                              # (H, W, S)
+        prev = jnp.concatenate([last_m[..., None], m[..., :-1]], axis=-1)
+        crossing = (
+            (prev > 0) & (m <= 0) & (m != RC.MARCH_UNSEEN)
+            & (prev != RC.MARCH_UNSEEN)
+        )
+        found = jnp.any(crossing, axis=-1) & ~done
+        first = jnp.argmax(crossing, axis=-1).astype(jnp.float32)
+        th = t_cur + spacing * first
+        t_hit = jnp.where(found, th, t_hit)
+        t_before = jnp.where(found, th - spacing, t_before)
+        done = done | found
+        t_cur = t_cur + spacing * S
+        done = done | (t_cur > t_max)
+        return i + 1, t_cur, m[..., -1], t_hit, t_before, done
+
     init = (
+        jnp.asarray(0, jnp.int32),
         t0,
-        t0,
-        jnp.ones(shape),
-        jnp.zeros(shape, bool),
+        jnp.full(shape, 127, jnp.int32),
         jnp.zeros(shape),
         jnp.zeros(shape),
         ~has_range,
     )
-    _, _, _, _, t_hit, t_before, _ = jax.lax.fori_loop(
-        0, config.raycast_steps, body, init
-    )
+    _, _, _, t_hit, t_before, _ = jax.lax.while_loop(cond, body, init)
     hit = t_hit > 0.0
 
-    # Secant refinement on trilinear samples in [t_before, t_hit].
+    # --- secant refinement on f32 trilinear samples ------------------------
     def sample_tri(t):
-        p = origin + t[..., None] * rays_world
-        return B.sample_tsdf_trilinear(volume, p, config)
+        px = ox + t * dx_
+        py = oy + t * dy_
+        pz = oz + t * dz_
+        return RC.sample_trilinear_axes(cache, px, py, pz, config)
 
     t_lo = t_before
     t_hi = t_hit
+    # One stacked call evaluates both bracket ends in a single gather round.
+    f_both, _ = sample_tri(jnp.stack([t_lo, t_hi], axis=0))
+    f_lo, f_hi = f_both[0], f_both[1]
 
     def refine(_, carry):
-        t_lo, t_hi = carry
-        f_lo, _ = sample_tri(t_lo)
-        f_hi, _ = sample_tri(t_hi)
+        t_lo, f_lo, t_hi, f_hi = carry
         denom = f_lo - f_hi
         alpha = jnp.where(jnp.abs(denom) > 1e-12, f_lo / denom, 0.5)
         t_mid = t_lo + jnp.clip(alpha, 0.0, 1.0) * (t_hi - t_lo)
         f_mid, _ = sample_tri(t_mid)
         pos = f_mid > 0.0
-        return jnp.where(pos, t_mid, t_lo), jnp.where(pos, t_hi, t_mid)
+        return (
+            jnp.where(pos, t_mid, t_lo),
+            jnp.where(pos, f_mid, f_lo),
+            jnp.where(pos, t_hi, t_mid),
+            jnp.where(pos, f_hi, f_mid),
+        )
 
-    t_lo, t_hi = jax.lax.fori_loop(0, config.refine_steps, refine, (t_lo, t_hi))
-    f_lo, _ = sample_tri(t_lo)
-    f_hi, _ = sample_tri(t_hi)
+    t_lo, f_lo, t_hi, f_hi = jax.lax.fori_loop(
+        0, config.refine_steps, refine, (t_lo, f_lo, t_hi, f_hi)
+    )
     denom = f_lo - f_hi
     alpha = jnp.where(jnp.abs(denom) > 1e-12, f_lo / denom, 0.5)
     t_surf = t_lo + jnp.clip(alpha, 0.0, 1.0) * (t_hi - t_lo)
 
-    p_surf = origin + t_surf[..., None] * rays_world
+    px = ox + t_surf * dx_
+    py = oy + t_surf * dy_
+    pz = oz + t_surf * dz_
 
     if normals == "gradient":
-        normal, n_ok = _gradient_normals(volume, p_surf, config)
+        nx, ny, nz, n_ok = RC.sample_gradient_axes(cache, px, py, pz, config)
     else:
-        normal, n_ok = _cross_normals(p_surf, hit)
+        nx, ny, nz, n_ok = _cross_normals_axes(px, py, pz, hit)
     # Orient toward the viewer.
-    flip = jnp.sum(normal * rays_world, axis=-1, keepdims=True) > 0.0
-    normal = jnp.where(flip, -normal, normal)
+    flip = nx * dx_ + ny * dy_ + nz * dz_ > 0.0
+    sign = jnp.where(flip, -1.0, 1.0)
+    nx, ny, nz = nx * sign, ny * sign, nz * sign
 
-    color, _ = B.sample_color_trilinear(volume, p_surf, config)
+    color, _ = RC.sample_color_nearest_axes(
+        cache, volume, px, py, pz, config
+    )
 
     valid = hit & n_ok
     m = valid[..., None]
+    p_surf = jnp.stack([px, py, pz], axis=-1)
+    normal = jnp.stack([nx, ny, nz], axis=-1)
     return Render(
         depth=jnp.where(valid, t_surf, 0.0),
         vertex_world=jnp.where(m, p_surf, 0.0),
@@ -261,32 +326,25 @@ def raycast(
     )
 
 
-def _cross_normals(p_surf: jax.Array, hit: jax.Array):
-    """Image-space forward-difference cross-product normals (world space)."""
+def _cross_normals_axes(px, py, pz, hit):
+    """Image-space forward-difference cross-product normals, planar."""
     from .preprocess import _shift2d
 
-    pr = _shift2d(p_surf, 0, 1)
-    pd = _shift2d(p_surf, 1, 0)
-    hr = _shift2d(hit.astype(jnp.float32), 0, 1) > 0.5
-    hd = _shift2d(hit.astype(jnp.float32), 1, 0) > 0.5
-    n = jnp.cross(pr - p_surf, pd - p_surf)
-    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    ok = hit & hr & hd & (norm[..., 0] > 1e-12)
-    return n / jnp.maximum(norm, 1e-12), ok
+    def sh(a, dy, dx):
+        return _shift2d(a, dy, dx)
 
-
-def _gradient_normals(volume: B.VolumeState, p_surf: jax.Array, config: Config):
-    """Central-difference TSDF gradient normals (6 trilinear samples)."""
-    h = 0.5 * config.voxel_size
-    comps = []
-    ok = None
-    for axis in range(3):
-        e = jnp.zeros((3,)).at[axis].set(h)
-        fp, okp = B.sample_tsdf_trilinear(volume, p_surf + e, config)
-        fm, okm = B.sample_tsdf_trilinear(volume, p_surf - e, config)
-        comps.append(fp - fm)
-        o = okp & okm
-        ok = o if ok is None else (ok & o)
-    g = jnp.stack(comps, axis=-1)
-    gn = jnp.linalg.norm(g, axis=-1, keepdims=True)
-    return g / jnp.maximum(gn, 1e-12), ok & (gn[..., 0] > 1e-12)
+    e1x = sh(px, 0, 1) - px
+    e1y = sh(py, 0, 1) - py
+    e1z = sh(pz, 0, 1) - pz
+    e2x = sh(px, 1, 0) - px
+    e2y = sh(py, 1, 0) - py
+    e2z = sh(pz, 1, 0) - pz
+    nx = e1y * e2z - e1z * e2y
+    ny = e1z * e2x - e1x * e2z
+    nz = e1x * e2y - e1y * e2x
+    norm = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    hr = sh(hit.astype(jnp.float32), 0, 1) > 0.5
+    hd = sh(hit.astype(jnp.float32), 1, 0) > 0.5
+    ok = hit & hr & hd & (norm > 1e-12)
+    inv = 1.0 / jnp.maximum(norm, 1e-12)
+    return nx * inv, ny * inv, nz * inv, ok

@@ -4,8 +4,13 @@ TPU-native rebuild of the reference's ``Integrator`` on the hashed volume
 (SURVEY.md component #15, ``integrator.cu`` [M]; one CUDA thread per voxel of
 each visible block [P:1410.0925] [B]).  Here: one vectorized XLA pass over
 the fixed-capacity visible-block batch, shaped (max_visible, 8, 8, 8) --
-gather blocks, update, scatter back.  Rows past ``num_visible`` are masked
-and scattered to a dropped dummy index, so the pass is branch-free.
+gather blocks, update, scatter back.
+
+The pass is chunked (``integrate_chunk`` blocks per while_loop round) and
+the loop trip count follows the ACTUAL ``num_visible``: with a static
+(max_visible, 512) batch, scenes using a fraction of the capacity would
+pay full-capacity depth-image sampling every frame (the per-element image
+gathers run at ~130M/s on this TPU -- see render_cache.py).
 """
 from __future__ import annotations
 
@@ -20,27 +25,18 @@ from . import blocks as B
 from .dense import _sample_nearest, voxel_update
 
 
-def integrate_sparse(
-    volume: B.VolumeState, frame: Frame, config: Config
-) -> B.VolumeState:
-    """Fuse one frame into the blocks listed in ``volume.visible_ids``."""
+def _integrate_batch(volume, frame, ids, row_valid, config):
+    """Fuse one chunk of blocks; returns updated voxel arrays."""
     bs = config.block_size
     vs = config.voxel_size
-    ids = volume.visible_ids                              # (V,)
-    V = ids.shape[0]
-    row_valid = (jnp.arange(V, dtype=jnp.int32) < volume.num_visible) & (
-        ids > 0
-    )
-
-    # World position of every voxel of every visible block.
-    coords = volume.block_coords[ids]                     # (V, 3)
+    coords = volume.block_coords[ids]                     # (C, 3)
     local = jnp.stack(
         jnp.meshgrid(
             jnp.arange(bs), jnp.arange(bs), jnp.arange(bs), indexing="ij"
         ),
         axis=-1,
     )                                                     # (8,8,8,3)
-    g = coords[:, None, None, None, :] * bs + local       # (V,8,8,8,3)
+    g = coords[:, None, None, None, :] * bs + local       # (C,8,8,8,3)
     world = g.astype(jnp.float32) * vs
 
     cam_pts = frame.pose.inverse().apply(world)
@@ -61,16 +57,45 @@ def integrate_sparse(
     weight = volume.weight[ids]
     col = volume.color[ids]
     cweight = volume.color_weight[ids]
-    tsdf, weight, col, cweight = voxel_update(
+    return voxel_update(
         tsdf, weight, col, cweight, sdf, color, valid, config
     )
 
+
+def integrate_sparse(
+    volume: B.VolumeState, frame: Frame, config: Config
+) -> B.VolumeState:
+    """Fuse one frame into the blocks listed in ``volume.visible_ids``."""
+    V = volume.visible_ids.shape[0]
+    C = min(getattr(config, "integrate_chunk", 1024), V)
+    n_chunks_needed = (volume.num_visible + C - 1) // C
     nb = volume.tsdf.shape[0]
-    tgt = jnp.where(row_valid, ids, nb)                   # drop masked rows
-    return dataclasses.replace(
-        volume,
-        tsdf=volume.tsdf.at[tgt].set(tsdf, mode="drop"),
-        weight=volume.weight.at[tgt].set(weight, mode="drop"),
-        color=volume.color.at[tgt].set(col, mode="drop"),
-        color_weight=volume.color_weight.at[tgt].set(cweight, mode="drop"),
+
+    def cond(carry):
+        i, _ = carry
+        return i < n_chunks_needed
+
+    def body(carry):
+        i, vol = carry
+        start = i * C
+        ids = jax.lax.dynamic_slice_in_dim(vol.visible_ids, start, C)
+        row_valid = (
+            (start + jnp.arange(C, dtype=jnp.int32)) < vol.num_visible
+        ) & (ids > 0)
+        tsdf, weight, col, cweight = _integrate_batch(
+            vol, frame, ids, row_valid, config
+        )
+        tgt = jnp.where(row_valid, ids, nb)               # drop masked rows
+        vol = dataclasses.replace(
+            vol,
+            tsdf=vol.tsdf.at[tgt].set(tsdf, mode="drop"),
+            weight=vol.weight.at[tgt].set(weight, mode="drop"),
+            color=vol.color.at[tgt].set(col, mode="drop"),
+            color_weight=vol.color_weight.at[tgt].set(cweight, mode="drop"),
+        )
+        return i + 1, vol
+
+    _, volume = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), volume)
     )
+    return volume
