@@ -42,9 +42,11 @@ class Config:
     ray_near: float = 0.1
     ray_far: float = 5.0
     raycast_steps: int = 192           # total sample budget along each ray
-    raycast_chunk: int = 16            # samples gathered per march round
+    raycast_chunk: int = 32            # coarse-march samples per round
+    raycast_fine_chunk: int = 8        # fine-march samples per round
+    raycast_coarse: int = 4            # coarse march at 1/N resolution
     raycast_step_scale: float = 0.75   # sample spacing in units of mu
-    refine_steps: int = 3              # secant refinement iterations
+    refine_steps: int = 1              # trilinear secant polish rounds
 
     # --- bilateral filter ---
     bilateral_radius: int = 2
@@ -81,6 +83,7 @@ class Config:
 
 # Small configs for tests / CI on CPU.
 TINY = Config(
+    refine_steps=2,
     num_blocks=2048,
     hash_size=8192,
     max_visible=1024,

@@ -158,6 +158,103 @@ def compute_range_image(
     return up(t_min), up(t_fmax), up(t_max)
 
 
+def _march(
+    cache, config, ox, oy, oz, dx_, dy_, dz_, t0, spacing, t_limit, active,
+    S, n_rounds,
+):
+    """Batched sign-change march (shared by the coarse and fine levels).
+
+    Gathers S data-independent samples per round and scans for the first
+    +to- crossing; records the bracketing positions AND their quantized
+    values so the caller can interpolate sub-voxel depth without extra
+    volume reads.  Returns (t_hit, t_before, m_before, m_hit, hit).
+    """
+    inv_vs = 1.0 / config.voxel_size
+    offs = jnp.arange(S, dtype=jnp.float32)
+    shape = t0.shape
+
+    def sample_chunk(t_start):
+        ts = t_start[..., None] + spacing[..., None] * offs
+        gx = jnp.round((ox + ts * dx_[..., None]) * inv_vs).astype(jnp.int32)
+        gy = jnp.round((oy + ts * dy_[..., None]) * inv_vs).astype(jnp.int32)
+        gz = jnp.round((oz + ts * dz_[..., None]) * inv_vs).astype(jnp.int32)
+        return RC.sample_march_texture(cache, gx, gy, gz, config)
+
+    def cond(carry):
+        i, _, _, _, _, _, _, done = carry
+        return (i < n_rounds) & ~jnp.all(done)
+
+    def body(carry):
+        i, t_cur, last_m, t_hit, t_before, m_b, m_h, done = carry
+        m = sample_chunk(t_cur)
+        prev = jnp.concatenate([last_m[..., None], m[..., :-1]], axis=-1)
+        crossing = (
+            (prev > 0) & (m <= 0) & (m != RC.MARCH_UNSEEN)
+            & (prev != RC.MARCH_UNSEEN)
+        )
+        found = jnp.any(crossing, axis=-1) & ~done
+        first = jnp.argmax(crossing, axis=-1)
+        firstf = first.astype(jnp.float32)
+        th = t_cur + spacing * firstf
+        # Values at the bracket (gathered from the chunk, tiny take).
+        m_hit_new = jnp.take_along_axis(m, first[..., None], axis=-1)[..., 0]
+        m_bef_new = jnp.take_along_axis(
+            prev, first[..., None], axis=-1
+        )[..., 0]
+        t_hit = jnp.where(found, th, t_hit)
+        t_before = jnp.where(found, th - spacing, t_before)
+        m_b = jnp.where(found, m_bef_new, m_b)
+        m_h = jnp.where(found, m_hit_new, m_h)
+        done = done | found
+        t_cur = t_cur + spacing * S
+        done = done | (t_cur > t_limit)
+        return i + 1, t_cur, m[..., -1], t_hit, t_before, m_b, m_h, done
+
+    init = (
+        jnp.asarray(0, jnp.int32),
+        t0,
+        jnp.full(shape, 127, jnp.int32),
+        jnp.zeros(shape),
+        jnp.zeros(shape),
+        jnp.full(shape, 127, jnp.int32),
+        jnp.full(shape, 127, jnp.int32),
+        ~active,
+    )
+    _, _, _, t_hit, t_before, m_b, m_h, _ = jax.lax.while_loop(
+        cond, body, init
+    )
+    return t_hit, t_before, m_b, m_h, t_hit > 0.0
+
+
+def _minpool(a, k):
+    """k x k min-pool with stride k (pads edges by replication)."""
+    h, w = a.shape
+    ph, pw = (-h) % k, (-w) % k
+    a = jnp.pad(a, ((0, ph), (0, pw)), mode="edge")
+    return a.reshape((h + ph) // k, k, (w + pw) // k, k).min(axis=(1, 3))
+
+
+def _maxpool(a, k):
+    h, w = a.shape
+    ph, pw = (-h) % k, (-w) % k
+    a = jnp.pad(a, ((0, ph), (0, pw)), mode="edge")
+    return a.reshape((h + ph) // k, k, (w + pw) // k, k).max(axis=(1, 3))
+
+
+def _dilate3(a, op):
+    """3x3 min/max dilation (edge-replicated)."""
+    from .preprocess import _shift2d
+
+    out = a
+    fill = jnp.inf if op is jnp.minimum else -jnp.inf
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            out = op(out, _shift2d(a, dy, dx, fill=fill))
+    return out
+
+
 def raycast(
     volume: B.VolumeState,
     camera: PinholeCamera,
@@ -169,12 +266,18 @@ def raycast(
 ) -> Render:
     """Render model depth/vertex/normal/color maps from the sparse TSDF.
 
-    Random-access budget per pixel (the scarce resource on TPU, see
-    render_cache.py): ~2S march gathers (S = raycast_chunk, one round
-    typical), 9 per trilinear refine round, 5 for nearest color.  All
-    coordinate math is planar (per-axis (H, W) arrays): (H, W, 3) arrays
-    in loop bodies force minor-dim-3 relayout copies that dominated early
-    profiles.
+    Hierarchical march under a strict random-access budget (~100M
+    gathers/s on this TPU, see render_cache.py):
+
+      1. coarse march at 1/``raycast_coarse`` resolution over the per-ray
+         range interval (first-block band from the range image);
+      2. per full-res pixel, a conservative [lo, hi] window from the 3x3
+         coarse neighborhood (misses widen to the full interval so thin
+         geometry the coarse rays skipped is still found);
+      3. fine march inside the window; sub-voxel depth by interpolating
+         the QUANTIZED bracket values (no extra volume reads);
+      4. ``refine_steps`` optional trilinear secant rounds for polish;
+      5. cross-product normals (no reads) + nearest color.
     """
     vs = config.voxel_size
     mu = config.trunc_dist
@@ -194,73 +297,64 @@ def raycast(
     )
     has_range = t_min <= t_max
 
-    # --- batched march -----------------------------------------------------
-    # TPU cost model (measured, tools/bench_gather_traced.py): random
-    # gathers run at ~130M/s and are latency-bound when chained, but
-    # pipeline fully when sample positions are data-independent.  Each
-    # round therefore gathers ``raycast_chunk`` equally spaced samples over
-    # the per-ray [t_min, t_max] interval (tight thanks to the range image)
-    # and scans for the first +to- sign change.  Per-ray spacing adapts to
-    # the interval so typical scenes finish in ONE round; a while_loop
-    # continues for long intervals, bounded by the ``raycast_steps`` budget.
     S = config.raycast_chunk
     n_rounds = -(-config.raycast_steps // S)
-    # Size round-1 spacing to the nearest block's band [t_min, t_fmax]:
-    # the surface is almost always inside the first block the ray enters.
-    span = jnp.maximum(t_fmax - t_min, 0.0)
-    spacing = jnp.clip(
-        span / S,
-        0.75 * vs * inv_dir_norm,
-        config.raycast_step_scale * mu * inv_dir_norm,
-    )                                                        # (H, W)
-    inv_vs = 1.0 / vs
-    offs = jnp.arange(S, dtype=jnp.float32)                  # (S,)
+    k = config.raycast_coarse
 
-    def sample_chunk(t_start):
-        """(H, W) start -> int8 march samples (H, W, S)."""
-        ts = t_start[..., None] + spacing[..., None] * offs
-        gx = jnp.round((ox + ts * dx_[..., None]) * inv_vs).astype(jnp.int32)
-        gy = jnp.round((oy + ts * dy_[..., None]) * inv_vs).astype(jnp.int32)
-        gz = jnp.round((oz + ts * dz_[..., None]) * inv_vs).astype(jnp.int32)
-        return RC.sample_march_texture(cache, gx, gy, gz, config)
-
-    t0 = jnp.where(has_range, t_min, config.ray_far)
-    shape = (height, width)
-
-    def cond(carry):
-        i, _, _, _, _, done = carry
-        return (i < n_rounds) & ~jnp.all(done)
-
-    def body(carry):
-        i, t_cur, last_m, t_hit, t_before, done = carry
-        m = sample_chunk(t_cur)                              # (H, W, S)
-        prev = jnp.concatenate([last_m[..., None], m[..., :-1]], axis=-1)
-        crossing = (
-            (prev > 0) & (m <= 0) & (m != RC.MARCH_UNSEEN)
-            & (prev != RC.MARCH_UNSEEN)
-        )
-        found = jnp.any(crossing, axis=-1) & ~done
-        first = jnp.argmax(crossing, axis=-1).astype(jnp.float32)
-        th = t_cur + spacing * first
-        t_hit = jnp.where(found, th, t_hit)
-        t_before = jnp.where(found, th - spacing, t_before)
-        done = done | found
-        t_cur = t_cur + spacing * S
-        done = done | (t_cur > t_max)
-        return i + 1, t_cur, m[..., -1], t_hit, t_before, done
-
-    init = (
-        jnp.asarray(0, jnp.int32),
-        t0,
-        jnp.full(shape, 127, jnp.int32),
-        jnp.zeros(shape),
-        jnp.zeros(shape),
-        ~has_range,
+    # --- coarse march at 1/k resolution ------------------------------------
+    cdx, cdy, cdz = dx_[::k, ::k], dy_[::k, ::k], dz_[::k, ::k]
+    c_inv = inv_dir_norm[::k, ::k]
+    c_tmin = _minpool(t_min, k)
+    c_tfmax = _maxpool(jnp.where(has_range, t_fmax, -jnp.inf), k)
+    c_tmax = _maxpool(jnp.where(has_range, t_max, -jnp.inf), k)
+    c_active = _minpool(t_min, k) <= _maxpool(
+        jnp.where(has_range, t_max, -jnp.inf), k
     )
-    _, _, _, t_hit, t_before, _ = jax.lax.while_loop(cond, body, init)
-    hit = t_hit > 0.0
+    c_span = jnp.maximum(c_tfmax - c_tmin, 0.0)
+    c_spacing = jnp.clip(
+        c_span / S,
+        0.75 * vs * c_inv,
+        config.raycast_step_scale * mu * c_inv,
+    )
+    ct_hit, _, _, _, c_hit = _march(
+        cache, config, ox, oy, oz, cdx, cdy, cdz,
+        jnp.where(c_active, c_tmin, config.ray_far),
+        c_spacing, c_tmax, c_active, S, n_rounds,
+    )
 
-    # --- secant refinement on f32 trilinear samples ------------------------
+    # --- conservative full-res window from the coarse depth ----------------
+    w_pad = 2.0 * c_spacing
+    c_lo = jnp.where(c_hit, ct_hit - w_pad, c_tmin)
+    c_hi = jnp.where(c_hit, ct_hit + w_pad, c_tfmax)
+    c_lo = _dilate3(c_lo, jnp.minimum)
+    c_hi = _dilate3(c_hi, jnp.maximum)
+    lo = jnp.repeat(jnp.repeat(c_lo, k, 0), k, 1)[:height, :width]
+    hi = jnp.repeat(jnp.repeat(c_hi, k, 0), k, 1)[:height, :width]
+    lo = jnp.maximum(lo, t_min)
+    hi = jnp.minimum(jnp.maximum(hi, lo), t_max)
+
+    # --- fine march in the window ------------------------------------------
+    Sf = config.raycast_fine_chunk
+    span_f = jnp.maximum(hi - lo, 0.0)
+    spacing_f = jnp.clip(
+        span_f / Sf,
+        0.5 * vs * inv_dir_norm,
+        config.raycast_step_scale * mu * inv_dir_norm,
+    )
+    t_hit, t_before, m_b, m_h, hit = _march(
+        cache, config, ox, oy, oz, dx_, dy_, dz_,
+        jnp.where(has_range, lo, config.ray_far),
+        spacing_f, t_max, has_range, Sf, n_rounds,
+    )
+
+    # --- sub-voxel depth from the quantized bracket ------------------------
+    f_lo = m_b.astype(jnp.float32) / 127.0
+    f_hi = m_h.astype(jnp.float32) / 127.0
+    denom = f_lo - f_hi
+    alpha = jnp.where(jnp.abs(denom) > 1e-12, f_lo / denom, 0.5)
+    t_surf = t_before + jnp.clip(alpha, 0.0, 1.0) * (t_hit - t_before)
+
+    # --- optional trilinear secant polish ----------------------------------
     def sample_tri(t):
         px = ox + t * dx_
         py = oy + t * dy_
@@ -268,31 +362,19 @@ def raycast(
         return RC.sample_trilinear_axes(cache, px, py, pz, config)
 
     t_lo = t_before
-    t_hi = t_hit
-    # One stacked call evaluates both bracket ends in a single gather round.
-    f_both, _ = sample_tri(jnp.stack([t_lo, t_hi], axis=0))
-    f_lo, f_hi = f_both[0], f_both[1]
-
-    def refine(_, carry):
-        t_lo, f_lo, t_hi, f_hi = carry
-        denom = f_lo - f_hi
-        alpha = jnp.where(jnp.abs(denom) > 1e-12, f_lo / denom, 0.5)
-        t_mid = t_lo + jnp.clip(alpha, 0.0, 1.0) * (t_hi - t_lo)
-        f_mid, _ = sample_tri(t_mid)
+    t_hi2 = t_hit
+    fl = f_lo
+    fh = f_hi
+    for _ in range(config.refine_steps):
+        f_mid, _ = sample_tri(t_surf)
         pos = f_mid > 0.0
-        return (
-            jnp.where(pos, t_mid, t_lo),
-            jnp.where(pos, f_mid, f_lo),
-            jnp.where(pos, t_hi, t_mid),
-            jnp.where(pos, f_hi, f_mid),
-        )
-
-    t_lo, f_lo, t_hi, f_hi = jax.lax.fori_loop(
-        0, config.refine_steps, refine, (t_lo, f_lo, t_hi, f_hi)
-    )
-    denom = f_lo - f_hi
-    alpha = jnp.where(jnp.abs(denom) > 1e-12, f_lo / denom, 0.5)
-    t_surf = t_lo + jnp.clip(alpha, 0.0, 1.0) * (t_hi - t_lo)
+        t_lo = jnp.where(pos, t_surf, t_lo)
+        fl = jnp.where(pos, f_mid, fl)
+        t_hi2 = jnp.where(pos, t_hi2, t_surf)
+        fh = jnp.where(pos, fh, f_mid)
+        denom = fl - fh
+        alpha = jnp.where(jnp.abs(denom) > 1e-12, fl / denom, 0.5)
+        t_surf = t_lo + jnp.clip(alpha, 0.0, 1.0) * (t_hi2 - t_lo)
 
     px = ox + t_surf * dx_
     py = oy + t_surf * dy_
