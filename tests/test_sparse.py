@@ -64,14 +64,14 @@ def test_sparse_matches_analytic_sdf():
 
     n_alloc = int(vol.free_count) - 1
     coords = np.asarray(vol.block_coords[1 : n_alloc + 1])
-    w = np.asarray(vol.weight[1 : n_alloc + 1])
+    w = np.asarray(vol.weight[1 : n_alloc + 1])          # (n, 512)
     f = np.asarray(vol.tsdf[1 : n_alloc + 1])
-    # World position of every voxel.
+    # World position of every voxel (flat local order matches storage).
     local = np.stack(
         np.meshgrid(np.arange(8), np.arange(8), np.arange(8), indexing="ij"),
         -1,
-    )
-    g = coords[:, None, None, None, :] * 8 + local
+    ).reshape(-1, 3)
+    g = coords[:, None, :] * 8 + local                    # (n, 512, 3)
     world = g * CFG.voxel_size
     true_sdf = np.asarray(
         sphere_sdf(jnp.asarray(world.reshape(-1, 3)), CENTER, RADIUS)

@@ -42,7 +42,7 @@ class Config:
     ray_near: float = 0.1
     ray_far: float = 5.0
     raycast_steps: int = 192           # total sample budget along each ray
-    raycast_chunk: int = 32            # coarse-march samples per round
+    raycast_chunk: int = 64            # coarse-march samples per round
     raycast_fine_chunk: int = 8        # fine-march samples per round
     raycast_coarse: int = 4            # coarse march at 1/N resolution
     raycast_step_scale: float = 0.75   # sample spacing in units of mu
@@ -55,7 +55,10 @@ class Config:
 
     # --- ICP tracking (coarse-to-fine; level 0 = full res) ---
     pyramid_levels: int = 3
-    icp_iters: tuple[int, ...] = (4, 5, 10)     # per level, fine -> coarse
+    icp_iters: tuple[int, ...] = (3, 5, 10)     # per level, fine -> coarse
+    icp_stride: int = 2                # live-pixel stride at the finest level
+                                       # (4x fewer association gathers; the
+                                       #  model side stays full-res)
     icp_dist_thresh: float = 0.1       # association gates (meters / cos angle)
     icp_normal_thresh: float = 0.8
     icp_damping: float = 1e-4          # relative Levenberg damping on the 6x6

@@ -5,7 +5,11 @@ TPU-native rebuild of the reference's ``Volume`` / ``Block`` / ``Voxel``
 InfiniTAM 8^3 voxel blocks [P:1410.0925]).  All storage is static-shape
 HBM-resident arrays:
 
-  * voxel data: (num_blocks, 8, 8, 8[,3]) float32 -- block b, local (x,y,z);
+  * voxel data: (num_blocks, 512[,3]) float32 -- block b, flat local index
+    lidx = (lx*8 + ly)*8 + lz.  Flat 2D storage pins XLA to one natural
+    layout: 4D (NB,8,8,8) arrays let the compiler pick exotic layouts per
+    consumer and insert full-volume relayout copies inside the integrate
+    loop (measured ~60-170ms/frame at production sizes);
   * hash table: see ``ops/hashing.py`` (open addressing, packed codes);
   * visible list: fixed capacity with a valid count (CUDA stream compaction
     becomes sort-based compaction, ``ops/allocate.py``).
@@ -44,10 +48,10 @@ class VolumeState:
     free_count: jax.Array     # () int32, next free block index (starts at 1)
     # voxel storage
     block_coords: jax.Array   # (num_blocks, 3) int32 coord of each block
-    tsdf: jax.Array           # (num_blocks, 8, 8, 8) float32 in [-1, 1]
-    weight: jax.Array         # (num_blocks, 8, 8, 8) float32
-    color: jax.Array          # (num_blocks, 8, 8, 8, 3) float32
-    color_weight: jax.Array   # (num_blocks, 8, 8, 8) float32
+    tsdf: jax.Array           # (num_blocks, 512) float32 in [-1, 1]
+    weight: jax.Array         # (num_blocks, 512) float32
+    color: jax.Array          # (num_blocks, 512, 3) float32
+    color_weight: jax.Array   # (num_blocks, 512) float32
     # per-frame visible set (compacted; entries beyond num_visible are 0)
     visible_ids: jax.Array    # (max_visible,) int32 block indices
     num_visible: jax.Array    # () int32
@@ -58,16 +62,16 @@ class VolumeState:
 
 def create_volume(config: Config, dtype=jnp.float32) -> VolumeState:
     nb = config.num_blocks
-    bs = config.block_size
+    bv = config.block_volume
     return VolumeState(
         hash_codes=jnp.full((config.hash_size,), hashing.EMPTY_CODE, jnp.int32),
         hash_values=jnp.zeros((config.hash_size,), jnp.int32),
         free_count=jnp.asarray(1, jnp.int32),  # block 0 = null sentinel
         block_coords=jnp.zeros((nb, 3), jnp.int32),
-        tsdf=jnp.ones((nb, bs, bs, bs), dtype),
-        weight=jnp.zeros((nb, bs, bs, bs), dtype),
-        color=jnp.zeros((nb, bs, bs, bs, 3), dtype),
-        color_weight=jnp.zeros((nb, bs, bs, bs), dtype),
+        tsdf=jnp.ones((nb, bv), dtype),
+        weight=jnp.zeros((nb, bv), dtype),
+        color=jnp.zeros((nb, bv, 3), dtype),
+        color_weight=jnp.zeros((nb, bv), dtype),
         visible_ids=jnp.zeros((config.max_visible,), jnp.int32),
         num_visible=jnp.asarray(0, jnp.int32),
         alloc_overflow=jnp.asarray(0, jnp.int32),
@@ -128,6 +132,12 @@ def lookup_blocks(volume: VolumeState, block_coords: jax.Array, config: Config):
     return jnp.where(found, idx, 0)
 
 
+def local_flat(local: jax.Array, config: Config) -> jax.Array:
+    """Local voxel coords (...,3) -> flat index (lx*8 + ly)*8 + lz."""
+    bs = config.block_size
+    return (local[..., 0] * bs + local[..., 1]) * bs + local[..., 2]
+
+
 def read_voxels(volume: VolumeState, g: jax.Array, config: Config):
     """Gather TSDF/weight at integer voxel coords g (...,3).
 
@@ -136,8 +146,8 @@ def read_voxels(volume: VolumeState, g: jax.Array, config: Config):
     """
     block, local = voxel_block_local(g, config)
     b = lookup_blocks(volume, block, config)
-    lx, ly, lz = local[..., 0], local[..., 1], local[..., 2]
-    return volume.tsdf[b, lx, ly, lz], volume.weight[b, lx, ly, lz]
+    li = local_flat(local, config)
+    return volume.tsdf[b, li], volume.weight[b, li]
 
 
 def sample_tsdf_nearest(volume: VolumeState, p_world: jax.Array, config: Config):
@@ -196,10 +206,10 @@ def sample_color_trilinear(
                 g = q0 + jnp.asarray([dx, dy, dz], jnp.int32)
                 block, local = voxel_block_local(g, config)
                 b = lookup_blocks(volume, block, config)
-                lx, ly, lz = local[..., 0], local[..., 1], local[..., 2]
-                cw = volume.color_weight[b, lx, ly, lz]
+                li = local_flat(local, config)
+                cw = volume.color_weight[b, li]
                 w = (wx * wy * wz) * jnp.where(cw > 0.0, 1.0, 0.0)
-                rgb = rgb + w[..., None] * volume.color[b, lx, ly, lz]
+                rgb = rgb + w[..., None] * volume.color[b, li]
                 wsum = wsum + w
     ok = wsum > 1e-6
     rgb = rgb / jnp.maximum(wsum, 1e-6)[..., None]

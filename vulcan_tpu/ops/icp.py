@@ -281,6 +281,18 @@ def track(
         live = live_pyramid[level]
         model = model_pyr[level]
         iters = config.icp_iters[level]
+        if level == 0 and config.icp_stride > 1:
+            # Subsample the live side at the finest level: association
+            # gathers dominate ICP's cost on TPU; point-to-plane accuracy
+            # is retained by the still-dense coarse levels + model side.
+            st = config.icp_stride
+            live = FrameMaps(
+                depth=live.depth[::st, ::st],
+                vertices=live.vertices[::st, ::st],
+                normals=live.normals[::st, ::st],
+                intensity=live.intensity[::st, ::st],
+                camera=live.camera,
+            )
 
         def body(_, carry):
             pose, err, inl = carry

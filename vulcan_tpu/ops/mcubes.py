@@ -59,18 +59,23 @@ def _neighbor_face_slices(volume: B.VolumeState, config: Config):
     nyz = neighbor_idx((0, 1, 1))
     nxyz = neighbor_idx((1, 1, 1))
 
-    def extend(arr):
-        """(NB,8,8,8[,C]) -> (NB,9,9,9[,C]) using neighbor faces."""
-        tail = arr.shape[4:]
+    def extend(flat_arr):
+        """(NB,512[,C]) -> (NB,9,9,9[,C]) using neighbor faces."""
+        tail = flat_arr.shape[2:]
+        arr = flat_arr.reshape((nb, 8, 8, 8) + tail)
         ext = jnp.zeros((nb, 9, 9, 9) + tail, arr.dtype)
         ext = ext.at[:, :8, :8, :8].set(arr)
-        ext = ext.at[:, 8, :8, :8].set(arr[nx][:, 0, :, :])
-        ext = ext.at[:, :8, 8, :8].set(arr[ny][:, :, 0, :])
-        ext = ext.at[:, :8, :8, 8].set(arr[nz][:, :, :, 0])
-        ext = ext.at[:, 8, 8, :8].set(arr[nxy][:, 0, 0, :])
-        ext = ext.at[:, 8, :8, 8].set(arr[nxz][:, 0, :, 0])
-        ext = ext.at[:, :8, 8, 8].set(arr[nyz][:, :, 0, 0])
-        ext = ext.at[:, 8, 8, 8].set(arr[nxyz][:, 0, 0, 0])
+
+        def rows(idx):
+            return flat_arr[idx].reshape((-1, 8, 8, 8) + tail)
+
+        ext = ext.at[:, 8, :8, :8].set(rows(nx)[:, 0, :, :])
+        ext = ext.at[:, :8, 8, :8].set(rows(ny)[:, :, 0, :])
+        ext = ext.at[:, :8, :8, 8].set(rows(nz)[:, :, :, 0])
+        ext = ext.at[:, 8, 8, :8].set(rows(nxy)[:, 0, 0, :])
+        ext = ext.at[:, 8, :8, 8].set(rows(nxz)[:, 0, :, 0])
+        ext = ext.at[:, :8, 8, 8].set(rows(nyz)[:, :, 0, 0])
+        ext = ext.at[:, 8, 8, 8].set(rows(nxyz)[:, 0, 0, 0])
         return ext
 
     return extend(volume.tsdf), extend(volume.weight), extend(volume.color)

@@ -311,10 +311,13 @@ def raycast(
         jnp.where(has_range, t_max, -jnp.inf), k
     )
     c_span = jnp.maximum(c_tfmax - c_tmin, 0.0)
+    # The coarse pass may sample up to 2x coarser than the fine pass (it
+    # only needs to FIND truncation bands, ~4-5 voxels thick; the fine pass
+    # resolves them), so typical rays finish in ONE round.
     c_spacing = jnp.clip(
         c_span / S,
         0.75 * vs * c_inv,
-        config.raycast_step_scale * mu * c_inv,
+        2.0 * config.raycast_step_scale * mu * c_inv,
     )
     ct_hit, _, _, _, c_hit = _march(
         cache, config, ox, oy, oz, cdx, cdy, cdz,
@@ -325,7 +328,7 @@ def raycast(
     # --- conservative full-res window from the coarse depth ----------------
     w_pad = 2.0 * c_spacing
     c_lo = jnp.where(c_hit, ct_hit - w_pad, c_tmin)
-    c_hi = jnp.where(c_hit, ct_hit + w_pad, c_tfmax)
+    c_hi = jnp.where(c_hit, ct_hit + w_pad, c_tfmax)  # miss: first band only
     c_lo = _dilate3(c_lo, jnp.minimum)
     c_hi = _dilate3(c_hi, jnp.maximum)
     lo = jnp.repeat(jnp.repeat(c_lo, k, 0), k, 1)[:height, :width]
@@ -334,6 +337,11 @@ def raycast(
     hi = jnp.minimum(jnp.maximum(hi, lo), t_max)
 
     # --- fine march in the window ------------------------------------------
+    # The fine march is limited to the window [lo, hi] -- NOT the global
+    # t_max: geometry beyond the window was already ruled out by the coarse
+    # pass (up to sub-pixel thin structures past the first band, which are
+    # dropped; walking every background ray to t_max at full resolution
+    # cost 6x the whole raycast).
     Sf = config.raycast_fine_chunk
     span_f = jnp.maximum(hi - lo, 0.0)
     spacing_f = jnp.clip(
@@ -344,7 +352,7 @@ def raycast(
     t_hit, t_before, m_b, m_h, hit = _march(
         cache, config, ox, oy, oz, dx_, dy_, dz_,
         jnp.where(has_range, lo, config.ray_far),
-        spacing_f, t_max, has_range, Sf, n_rounds,
+        spacing_f, hi, has_range, Sf, n_rounds,
     )
 
     # --- sub-voxel depth from the quantized bracket ------------------------

@@ -73,16 +73,19 @@ def build(volume: B.VolumeState, config: Config) -> RenderCache:
     own = jnp.where(row_valid, ids, 0)
 
     def halo(arr, null_value):
-        """volume array (NB,8,8,8) -> (V+1,9,9,9) halo rows."""
+        """volume array (NB,512) -> (V+1,9,9,9) halo rows."""
+        def rows(idx):
+            return arr[idx].reshape(-1, 8, 8, 8)
+
         ext = jnp.full((V, 9, 9, 9), null_value, arr.dtype)
-        ext = ext.at[:, :8, :8, :8].set(arr[own])
-        ext = ext.at[:, 8, :8, :8].set(arr[nx][:, 0, :, :])
-        ext = ext.at[:, :8, 8, :8].set(arr[ny][:, :, 0, :])
-        ext = ext.at[:, :8, :8, 8].set(arr[nz][:, :, :, 0])
-        ext = ext.at[:, 8, 8, :8].set(arr[nxy][:, 0, 0, :])
-        ext = ext.at[:, 8, :8, 8].set(arr[nxz][:, 0, :, 0])
-        ext = ext.at[:, :8, 8, 8].set(arr[nyz][:, :, 0, 0])
-        ext = ext.at[:, 8, 8, 8].set(arr[nxyz][:, 0, 0, 0])
+        ext = ext.at[:, :8, :8, :8].set(rows(own))
+        ext = ext.at[:, 8, :8, :8].set(rows(nx)[:, 0, :, :])
+        ext = ext.at[:, :8, 8, :8].set(rows(ny)[:, :, 0, :])
+        ext = ext.at[:, :8, :8, 8].set(rows(nz)[:, :, :, 0])
+        ext = ext.at[:, 8, 8, :8].set(rows(nxy)[:, 0, 0, :])
+        ext = ext.at[:, 8, :8, 8].set(rows(nxz)[:, 0, :, 0])
+        ext = ext.at[:, :8, 8, 8].set(rows(nyz)[:, :, 0, 0])
+        ext = ext.at[:, 8, 8, 8].set(rows(nxyz)[:, 0, 0, 0])
         null_row = jnp.full((1, 9, 9, 9), null_value, arr.dtype)
         return jnp.concatenate([null_row, ext], axis=0)
 
@@ -205,8 +208,9 @@ def sample_color_nearest_axes(
     gz = jnp.round(pz * inv_vs).astype(jnp.int32)
     row, lx, ly, lz = _row_and_local(cache, gx, gy, gz, config)
     b = cache.row_block[row]
-    rgb = volume.color[b, lx, ly, lz]               # (..., 3)
-    cw = volume.color_weight[b, lx, ly, lz]
+    li = (lx * 8 + ly) * 8 + lz
+    rgb = volume.color[b, li]                       # (..., 3)
+    cw = volume.color_weight[b, li]
     ok = (row > 0) & (cw > 0.0)
     return jnp.where(ok[..., None], rgb, 0.0), ok
 

@@ -3,8 +3,9 @@
 TPU-native rebuild of the reference's ``Integrator`` on the hashed volume
 (SURVEY.md component #15, ``integrator.cu`` [M]; one CUDA thread per voxel of
 each visible block [P:1410.0925] [B]).  Here: one vectorized XLA pass over
-the fixed-capacity visible-block batch, shaped (max_visible, 8, 8, 8) --
-gather blocks, update, scatter back.
+the fixed-capacity visible-block batch, shaped (chunk, 512) --
+gather block rows, update, scatter back (rows are contiguous 2KB DMAs,
+not per-element scatters).
 
 The pass is chunked (``integrate_chunk`` blocks per while_loop round) and
 the loop trip count follows the ACTUAL ``num_visible``: with a static
@@ -26,7 +27,7 @@ from .dense import _sample_nearest, voxel_update
 
 
 def _integrate_batch(volume, frame, ids, row_valid, config):
-    """Fuse one chunk of blocks; returns updated voxel arrays."""
+    """Fuse one chunk of blocks; returns updated voxel arrays (C, 512)."""
     bs = config.block_size
     vs = config.voxel_size
     coords = volume.block_coords[ids]                     # (C, 3)
@@ -35,8 +36,8 @@ def _integrate_batch(volume, frame, ids, row_valid, config):
             jnp.arange(bs), jnp.arange(bs), jnp.arange(bs), indexing="ij"
         ),
         axis=-1,
-    )                                                     # (8,8,8,3)
-    g = coords[:, None, None, None, :] * bs + local       # (C,8,8,8,3)
+    ).reshape(-1, 3)                                      # (512, 3)
+    g = coords[:, None, :] * bs + local                   # (C, 512, 3)
     world = g.astype(jnp.float32) * vs
 
     cam_pts = frame.pose.inverse().apply(world)
@@ -45,7 +46,7 @@ def _integrate_batch(volume, frame, ids, row_valid, config):
     depth, in_bounds = _sample_nearest(frame.depth, uv)
     color, _ = _sample_nearest(frame.color, uv)
     valid = (
-        row_valid[:, None, None, None]
+        row_valid[:, None]
         & in_bounds
         & (depth > config.depth_min)
         & (depth < config.depth_max)
