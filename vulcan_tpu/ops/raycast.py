@@ -110,42 +110,35 @@ def compute_range_image(
     g_min = jnp.min(jnp.where(overflow, z_min, jnp.inf))
     g_max = jnp.max(jnp.where(overflow, z_max, -jnp.inf))
 
-    t_min = jnp.full((hc, wc), jnp.inf, jnp.float32)
-    t_fmax = jnp.full((hc, wc), jnp.inf, jnp.float32)
-    t_max = jnp.full((hc, wc), -jnp.inf, jnp.float32)
-    # Fixed stamp: st x st scatter-min/max rounds (vectorized over blocks).
-    for dv in range(st):
-        for du in range(st):
-            cu = u_min + du
-            cv = v_min + dv
-            inside = (
-                stampable
-                & (cu <= u_max)
-                & (cv <= v_max)
-                & (cu >= 0)
-                & (cu < wc)
-                & (cv >= 0)
-                & (cv < hc)
-            )
-            flat = jnp.where(inside, cv * wc + cu, hc * wc)
-            t_min = (
-                t_min.reshape(-1)
-                .at[flat]
-                .min(jnp.where(inside, z_min, jnp.inf), mode="drop")
-                .reshape(hc, wc)
-            )
-            t_fmax = (
-                t_fmax.reshape(-1)
-                .at[flat]
-                .min(jnp.where(inside, z_max, jnp.inf), mode="drop")
-                .reshape(hc, wc)
-            )
-            t_max = (
-                t_max.reshape(-1)
-                .at[flat]
-                .max(jnp.where(inside, z_max, -jnp.inf), mode="drop")
-                .reshape(hc, wc)
-            )
+    # Fixed st x st stamp, all offsets scattered in ONE call per channel
+    # (st*st sequential scatter rounds serialized badly on device).
+    du = jnp.arange(st, dtype=jnp.int32)
+    cu = u_min[:, None, None] + du[None, :, None]           # (V, st, 1)
+    cv = v_min[:, None, None] + du[None, None, :]           # (V, 1, st)
+    inside = (
+        stampable[:, None, None]
+        & (cu <= u_max[:, None, None])
+        & (cv <= v_max[:, None, None])
+        & (cu >= 0)
+        & (cu < wc)
+        & (cv >= 0)
+        & (cv < hc)
+    )                                                       # (V, st, st)
+    flat = jnp.where(inside, cv * wc + cu, hc * wc).reshape(-1)
+    zmin_b = jnp.broadcast_to(z_min[:, None, None], inside.shape).reshape(-1)
+    zmax_b = jnp.broadcast_to(z_max[:, None, None], inside.shape).reshape(-1)
+    t_min = (
+        jnp.full((hc * wc,), jnp.inf, jnp.float32)
+        .at[flat].min(zmin_b, mode="drop").reshape(hc, wc)
+    )
+    t_fmax = (
+        jnp.full((hc * wc,), jnp.inf, jnp.float32)
+        .at[flat].min(zmax_b, mode="drop").reshape(hc, wc)
+    )
+    t_max = (
+        jnp.full((hc * wc,), -jnp.inf, jnp.float32)
+        .at[flat].max(zmax_b, mode="drop").reshape(hc, wc)
+    )
 
     t_min = jnp.where(any_overflow, jnp.minimum(t_min, g_min), t_min)
     t_fmax = jnp.where(any_overflow, jnp.minimum(t_fmax, g_max), t_fmax)
@@ -196,11 +189,14 @@ def _march(
         first = jnp.argmax(crossing, axis=-1)
         firstf = first.astype(jnp.float32)
         th = t_cur + spacing * firstf
-        # Values at the bracket (gathered from the chunk, tiny take).
-        m_hit_new = jnp.take_along_axis(m, first[..., None], axis=-1)[..., 0]
-        m_bef_new = jnp.take_along_axis(
-            prev, first[..., None], axis=-1
-        )[..., 0]
+        # Bracket values via masked reduction: take_along_axis on a
+        # minor-dim-S array lowers to a slow per-element gather.
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, m.shape, m.ndim - 1)
+            == first[..., None]
+        )
+        m_hit_new = jnp.sum(jnp.where(sel, m, 0), axis=-1)
+        m_bef_new = jnp.sum(jnp.where(sel, prev, 0), axis=-1)
         t_hit = jnp.where(found, th, t_hit)
         t_before = jnp.where(found, th - spacing, t_before)
         m_b = jnp.where(found, m_bef_new, m_b)

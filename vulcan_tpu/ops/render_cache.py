@@ -39,11 +39,13 @@ MARCH_UNSEEN = -128  # int8 sentinel in ``march`` for unobserved voxels
 
 @pytree_dataclass
 class RenderCache:
-    grid: jax.Array         # (G*G*G,) int32 halo row; 0 = empty
+    """All gather targets are FLAT 1D arrays: multi-dim tables get exotic
+    XLA layouts whose gathers run at half rate (measured)."""
+
+    grid: jax.Array         # ((G*G*G),) int32 halo row; 0 = empty
     grid_min: jax.Array     # (3,) int32 block coord of grid[0,0,0]
-    tsdf: jax.Array         # (V+1, 9, 9, 9) f32
-    march: jax.Array        # (V+1, 9, 9, 9) int32 (int8 range; int32
-                            #   because int8 gathers run ~2x slower)
+    tsdf: jax.Array         # ((V+1)*729,) f32 halo voxels, row-major 9x9x9
+    march: jax.Array        # ((V+1)*729,) int32 (int8 range + UNSEEN)
     row_block: jax.Array    # (V+1,) int32 volume block index (0 = null)
     overflow: jax.Array     # () int32 visible blocks outside the grid
 
@@ -63,6 +65,8 @@ def build(volume: B.VolumeState, config: Config) -> RenderCache:
         )
         return jnp.where(row_valid, idx, 0)
 
+    # Neighbor resolution for ALL capacity rows (cheap: V hash lookups);
+    # the heavy voxel copies below are chunked by actual num_visible.
     nx = neighbor_idx((1, 0, 0))
     ny = neighbor_idx((0, 1, 0))
     nz = neighbor_idx((0, 0, 1))
@@ -72,12 +76,18 @@ def build(volume: B.VolumeState, config: Config) -> RenderCache:
     nxyz = neighbor_idx((1, 1, 1))
     own = jnp.where(row_valid, ids, 0)
 
-    def halo(arr, null_value):
-        """volume array (NB,512) -> (V+1,9,9,9) halo rows."""
-        def rows(idx):
+    # Chunked halo construction: only ~num_visible rows carry data, so the
+    # build loop's trip count follows the actual count instead of paying
+    # full max_visible bandwidth every frame.
+    C = min(2048, V)
+    n_chunks = (volume.num_visible + C - 1) // C
+
+    def chunk_ext(arr, null_value, start):
+        def rows(idx_all):
+            idx = jax.lax.dynamic_slice_in_dim(idx_all, start, C)
             return arr[idx].reshape(-1, 8, 8, 8)
 
-        ext = jnp.full((V, 9, 9, 9), null_value, arr.dtype)
+        ext = jnp.full((C, 9, 9, 9), null_value, arr.dtype)
         ext = ext.at[:, :8, :8, :8].set(rows(own))
         ext = ext.at[:, 8, :8, :8].set(rows(nx)[:, 0, :, :])
         ext = ext.at[:, :8, 8, :8].set(rows(ny)[:, :, 0, :])
@@ -86,16 +96,41 @@ def build(volume: B.VolumeState, config: Config) -> RenderCache:
         ext = ext.at[:, 8, :8, 8].set(rows(nxz)[:, 0, :, 0])
         ext = ext.at[:, :8, 8, 8].set(rows(nyz)[:, :, 0, 0])
         ext = ext.at[:, 8, 8, 8].set(rows(nxyz)[:, 0, 0, 0])
-        null_row = jnp.full((1, 9, 9, 9), null_value, arr.dtype)
-        return jnp.concatenate([null_row, ext], axis=0)
+        return ext
 
-    halo_tsdf = halo(volume.tsdf, 1.0)
-    halo_weight = halo(volume.weight, 0.0)
-    march = jnp.where(
-        halo_weight > 0.0,
-        jnp.round(jnp.clip(halo_tsdf, -1.0, 1.0) * 127.0),
-        float(MARCH_UNSEEN),
-    ).astype(jnp.int32)
+    def build_halos():
+        halo_tsdf = jnp.ones(((V + 1) * 729,), jnp.float32)
+        march = jnp.full(((V + 1) * 729,), MARCH_UNSEEN, jnp.int32)
+
+        def cond(carry):
+            i, _, _ = carry
+            return i < n_chunks
+
+        def body(carry):
+            i, ht, hm = carry
+            start = i * C
+            et = chunk_ext(volume.tsdf, 1.0, start)
+            ew = chunk_ext(volume.weight, 0.0, start)
+            em = jnp.where(
+                ew > 0.0,
+                jnp.round(jnp.clip(et, -1.0, 1.0) * 127.0),
+                float(MARCH_UNSEEN),
+            ).astype(jnp.int32)
+            off = (start + 1) * 729
+            ht = jax.lax.dynamic_update_slice_in_dim(
+                ht, et.reshape(-1), off, 0
+            )
+            hm = jax.lax.dynamic_update_slice_in_dim(
+                hm, em.reshape(-1), off, 0
+            )
+            return i + 1, ht, hm
+
+        _, halo_tsdf, march = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), halo_tsdf, march)
+        )
+        return halo_tsdf, march
+
+    halo_tsdf, march = build_halos()
 
     G = config.render_grid_size
     big = jnp.int32(1 << 20)
@@ -153,7 +188,7 @@ def sample_march_texture(
     with MARCH_UNSEEN for unobserved/outside.  Two gathers; positions are
     data-independent, so calls pipeline fully."""
     row, lx, ly, lz = _row_and_local(cache, gx, gy, gz, config)
-    return cache.march[row, lx, ly, lz]
+    return cache.march[((row * 9 + lx) * 9 + ly) * 9 + lz]
 
 
 def _floor_axes(px, py, pz, config: Config):
@@ -189,8 +224,9 @@ def sample_trilinear_axes(cache: RenderCache, px, py, pz, config: Config):
             wy = fy if dy else 1.0 - fy
             for dz in (0, 1):
                 wz = fz if dz else 1.0 - fz
-                f = cache.tsdf[row, lx + dx, ly + dy, lz + dz]
-                m = cache.march[row, lx + dx, ly + dy, lz + dz]
+                hidx = ((row * 9 + lx + dx) * 9 + ly + dy) * 9 + lz + dz
+                f = cache.tsdf[hidx]
+                m = cache.march[hidx]
                 val = val + (wx * wy * wz) * f
                 ok = ok & (m != MARCH_UNSEEN)
     return val, ok
