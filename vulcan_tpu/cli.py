@@ -142,9 +142,15 @@ def cmd_run(args):
     est_traj, gt_traj = [], []
     n_done = 0
     t_loop = None
+    trace_ctx = None
     for i, (depth, color, gt_pose) in enumerate(frames):
         if args.frames and i >= args.frames:
             break
+        if args.trace_dir and i == 2:  # skip compile frames, then trace
+            import jax
+
+            trace_ctx = jax.profiler.trace(args.trace_dir)
+            trace_ctx.__enter__()
         pose = gt_pose if (args.known_poses and gt_pose is not None) else None
         with timer.stage("step"):
             pipe.process(depth, color, pose=pose)
@@ -165,6 +171,8 @@ def cmd_run(args):
     import jax
 
     jax.block_until_ready(pipe.state.model.depth)
+    if trace_ctx is not None:
+        trace_ctx.__exit__(None, None, None)
     elapsed = time.perf_counter() - (t_loop or time.perf_counter())
     fps = (n_done - 1) / elapsed if n_done > 1 and elapsed > 0 else 0.0
 

@@ -28,7 +28,7 @@ class Config:
     alloc_subsample: int = 2           # allocate from every Nth pixel (x and y)
     alloc_capacity: int = 8192         # max new+touched unique blocks per frame
     range_scale: int = 16              # coarse min/max range image downscale
-    range_stamp: int = 8               # per-block stamp size in coarse cells
+    range_stamp: int = 6               # per-block stamp size in coarse cells
     render_grid_size: int = 128        # dense block-coord grid for raycast
                                        # (covers render_grid_size*block_extent
                                        #  meters of visible scene per axis)

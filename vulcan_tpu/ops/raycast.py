@@ -153,7 +153,7 @@ def compute_range_image(
 
 def _march(
     cache, config, ox, oy, oz, dx_, dy_, dz_, t0, spacing, t_limit, active,
-    S, n_rounds,
+    S, n_rounds, compact_div=0,
 ):
     """Batched sign-change march (shared by the coarse and fine levels).
 
@@ -161,24 +161,29 @@ def _march(
     +to- crossing; records the bracketing positions AND their quantized
     values so the caller can interpolate sub-voxel depth without extra
     volume reads.  Returns (t_hit, t_before, m_before, m_hit, hit).
+
+    With ``compact_div`` > 0, only round 1 runs at full width; the
+    surviving rays (long windows at silhouettes, misses) are compacted
+    into a 1/compact_div-capacity list for the remaining rounds --
+    re-marching every pixel per round paid ~3x the useful gather work.
+    If more rays survive round 1 than the compact capacity, a lax.cond
+    falls back to full-width rounds (never silently drops rays).
     """
     inv_vs = 1.0 / config.voxel_size
     offs = jnp.arange(S, dtype=jnp.float32)
     shape = t0.shape
 
-    def sample_chunk(t_start):
-        ts = t_start[..., None] + spacing[..., None] * offs
-        gx = jnp.round((ox + ts * dx_[..., None]) * inv_vs).astype(jnp.int32)
-        gy = jnp.round((oy + ts * dy_[..., None]) * inv_vs).astype(jnp.int32)
-        gz = jnp.round((oz + ts * dz_[..., None]) * inv_vs).astype(jnp.int32)
-        return RC.sample_march_texture(cache, gx, gy, gz, config)
+    def make_sampler(dx, dy, dz, spacing):
+        def sample_chunk(t_start):
+            ts = t_start[..., None] + spacing[..., None] * offs
+            gx = jnp.round((ox + ts * dx[..., None]) * inv_vs).astype(jnp.int32)
+            gy = jnp.round((oy + ts * dy[..., None]) * inv_vs).astype(jnp.int32)
+            gz = jnp.round((oz + ts * dz[..., None]) * inv_vs).astype(jnp.int32)
+            return RC.sample_march_texture(cache, gx, gy, gz, config)
+        return sample_chunk
 
-    def cond(carry):
-        i, _, _, _, _, _, _, done = carry
-        return (i < n_rounds) & ~jnp.all(done)
-
-    def body(carry):
-        i, t_cur, last_m, t_hit, t_before, m_b, m_h, done = carry
+    def round_step(sample_chunk, spacing, t_limit, carry):
+        t_cur, last_m, t_hit, t_before, m_b, m_h, done = carry
         m = sample_chunk(t_cur)
         prev = jnp.concatenate([last_m[..., None], m[..., :-1]], axis=-1)
         crossing = (
@@ -187,8 +192,7 @@ def _march(
         )
         found = jnp.any(crossing, axis=-1) & ~done
         first = jnp.argmax(crossing, axis=-1)
-        firstf = first.astype(jnp.float32)
-        th = t_cur + spacing * firstf
+        th = t_cur + spacing * first.astype(jnp.float32)
         # Bracket values via masked reduction: take_along_axis on a
         # minor-dim-S array lowers to a slow per-element gather.
         sel = (
@@ -204,20 +208,109 @@ def _march(
         done = done | found
         t_cur = t_cur + spacing * S
         done = done | (t_cur > t_limit)
-        return i + 1, t_cur, m[..., -1], t_hit, t_before, m_b, m_h, done
+        return t_cur, m[..., -1], t_hit, t_before, m_b, m_h, done
 
-    init = (
-        jnp.asarray(0, jnp.int32),
-        t0,
-        jnp.full(shape, 127, jnp.int32),
-        jnp.zeros(shape),
-        jnp.zeros(shape),
-        jnp.full(shape, 127, jnp.int32),
-        jnp.full(shape, 127, jnp.int32),
-        ~active,
+    def init_carry(t0, active, shp):
+        return (
+            t0,
+            jnp.full(shp, 127, jnp.int32),
+            jnp.zeros(shp),
+            jnp.zeros(shp),
+            jnp.full(shp, 127, jnp.int32),
+            jnp.full(shp, 127, jnp.int32),
+            ~active,
+        )
+
+    full_sampler = make_sampler(dx_, dy_, dz_, spacing)
+
+    if not compact_div:
+        def cond(carry):
+            i = carry[0]
+            done = carry[-1]
+            return (i < n_rounds) & ~jnp.all(done)
+
+        def body(carry):
+            i = carry[0]
+            new = round_step(full_sampler, spacing, t_limit, carry[1:])
+            return (i + 1,) + new
+
+        out = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32),) + init_carry(t0, active, shape)
+        )
+        _, _, _, t_hit, t_before, m_b, m_h, _ = out
+        return t_hit, t_before, m_b, m_h, t_hit > 0.0
+
+    # --- round 1 dense, remaining rounds compacted --------------------------
+    carry = round_step(
+        full_sampler, spacing, t_limit, init_carry(t0, active, shape)
     )
-    _, _, _, t_hit, t_before, m_b, m_h, _ = jax.lax.while_loop(
-        cond, body, init
+    n = carry[2].size
+    M = max(n // compact_div, 256)
+
+    def full_phase(carry):
+        def cond(c):
+            i = c[0]
+            return (i < n_rounds) & ~jnp.all(c[-1])
+
+        def body(c):
+            i = c[0]
+            return (i + 1,) + round_step(full_sampler, spacing, t_limit, c[1:])
+
+        out = jax.lax.while_loop(
+            cond, body, (jnp.asarray(1, jnp.int32),) + carry
+        )
+        _, _, _, t_hit, t_before, m_b, m_h, _ = out
+        return t_hit, t_before, m_b, m_h
+
+    def compact_phase(carry):
+        t_cur, last_m, t_hit, t_before, m_b, m_h, done = carry
+        undone_ids = jnp.where(
+            ~done.reshape(-1), jnp.arange(n, dtype=jnp.int32), n
+        )
+        order = jax.lax.top_k(-undone_ids, M)[0] * -1   # M smallest ids
+        live = order < n
+        ids = jnp.where(live, order, 0)
+
+        def g(a):
+            return a.reshape(-1)[ids]
+
+        spc = g(spacing)
+        tlc = g(t_limit)
+        samp_c = make_sampler(g(dx_), g(dy_), g(dz_), spc)
+        carry_c = (
+            g(t_cur), g(last_m), g(t_hit), g(t_before), g(m_b), g(m_h),
+            g(done) | ~live,
+        )
+
+        def cond_c(c):
+            i = c[0]
+            return (i < n_rounds) & ~jnp.all(c[-1])
+
+        def body_c(c):
+            i = c[0]
+            return (i + 1,) + round_step(samp_c, spc, tlc, c[1:])
+
+        out = jax.lax.while_loop(
+            cond_c, body_c, (jnp.asarray(1, jnp.int32),) + carry_c
+        )
+        _, _, _, th_c, tb_c, mb_c, mh_c, _ = out
+
+        def scatter_back(full, comp):
+            tgt = jnp.where(live, ids, n)
+            return (
+                full.reshape(-1).at[tgt].set(comp, mode="drop").reshape(shape)
+            )
+
+        return (
+            scatter_back(t_hit, th_c),
+            scatter_back(t_before, tb_c),
+            scatter_back(m_b, mb_c),
+            scatter_back(m_h, mh_c),
+        )
+
+    n_undone = jnp.sum(~carry[-1])
+    t_hit, t_before, m_b, m_h = jax.lax.cond(
+        n_undone <= M, compact_phase, full_phase, carry
     )
     return t_hit, t_before, m_b, m_h, t_hit > 0.0
 
@@ -319,6 +412,7 @@ def raycast(
         cache, config, ox, oy, oz, cdx, cdy, cdz,
         jnp.where(c_active, c_tmin, config.ray_far),
         c_spacing, c_tmax, c_active, S, n_rounds,
+        compact_div=4,
     )
 
     # --- conservative full-res window from the coarse depth ----------------
@@ -349,6 +443,7 @@ def raycast(
         cache, config, ox, oy, oz, dx_, dy_, dz_,
         jnp.where(has_range, lo, config.ray_far),
         spacing_f, hi, has_range, Sf, n_rounds,
+        compact_div=4,
     )
 
     # --- sub-voxel depth from the quantized bracket ------------------------
