@@ -8,7 +8,6 @@ import numpy as np
 from vulcan_tpu.config import Config
 from vulcan_tpu.core.camera import PinholeCamera
 from vulcan_tpu.core.frame import make_frame
-from vulcan_tpu.core.se3 import SE3
 from vulcan_tpu.io.synthetic import (
     orbit_poses,
     render_sphere_depth,

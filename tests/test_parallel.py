@@ -2,7 +2,6 @@
 driver's dryrun_multichip validation)."""
 import jax
 import numpy as np
-import pytest
 
 from vulcan_tpu.config import TINY
 

@@ -9,7 +9,6 @@ A minimal reader is included for tests and the snapshot/resume path.
 """
 from __future__ import annotations
 
-import struct
 
 import numpy as np
 

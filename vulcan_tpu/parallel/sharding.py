@@ -25,8 +25,6 @@ on an N-device mesh to validate compile + execution.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

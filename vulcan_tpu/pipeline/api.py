@@ -10,7 +10,6 @@ functional.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -75,6 +74,43 @@ class Volume:
             self.state, camera, pose, height, width, self.config
         )
 
+    def visible_blocks(self):
+        """(block_ids (N,), block_coords (N,3)) of the current visible set
+        (the reference's ``Volume`` view of visible blocks)."""
+        n = int(self.state.num_visible)
+        ids = np.asarray(self.state.visible_ids[:n])
+        return ids, np.asarray(self.state.block_coords[ids])
+
+    def validate(self) -> dict:
+        """Debug consistency pass (SURVEY.md §6 'race detection' row: the
+        one racy construct in the reference -- hash insertion -- is
+        deterministic here; this checks the resulting invariants).
+
+        Returns a dict of findings; all-zero means healthy.
+        """
+        st = self.state
+        codes = np.asarray(st.hash_codes)
+        values = np.asarray(st.hash_values)
+        free = int(st.free_count)
+        occupied = codes != 0x7FFFFFFF
+        report = {
+            "hash_entries": int(occupied.sum()),
+            "allocated_blocks": free - 1,
+            # every occupied slot must map to a valid block index
+            "bad_values": int(
+                ((values[occupied] < 1) | (values[occupied] >= free)).sum()
+            ),
+            # block indices must be unique across the table
+            "duplicate_values": int(
+                len(values[occupied]) - len(np.unique(values[occupied]))
+            ),
+            # count must match: one hash entry per allocated block
+            "count_mismatch": int(occupied.sum() != free - 1),
+            "alloc_overflow": int(st.alloc_overflow),
+            "visible_overflow": int(st.visible_overflow),
+        }
+        return report
+
     # -- persistence (SURVEY.md §6 checkpoint/resume) --
     def save(self, path: str) -> None:
         """Snapshot the full volume state to one .npz file."""
@@ -131,7 +167,15 @@ class Tracer:
 
 class Tracker:
     """Frame-to-model ICP (reference ``Tracker``/``DepthTracker``/
-    ``ColorTracker``, component #17).  ``mode``: depth | color | combined."""
+    ``ColorTracker``, component #17).  ``mode``: depth | color | combined.
+
+    The reference's recalled ``LightTracker`` (photometric tracking with a
+    point-light shading model, SURVEY.md component #20) is intentionally
+    not implemented: SURVEY.md marks it low-confidence/[M]-only, the
+    reference mount was empty to verify against, and BASELINE.json's
+    contract does not mention it.  The ``color``/``combined`` modes cover
+    the photometric-tracking capability.
+    """
 
     def __init__(self, config: Config = Config(), mode: str = "depth"):
         self.config = config
