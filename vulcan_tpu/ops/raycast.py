@@ -352,6 +352,7 @@ def raycast(
     width: int,
     config: Config,
     normals: str = "cross",
+    with_color: bool = True,
 ) -> Render:
     """Render model depth/vertex/normal/color maps from the sparse TSDF.
 
@@ -412,7 +413,7 @@ def raycast(
         cache, config, ox, oy, oz, cdx, cdy, cdz,
         jnp.where(c_active, c_tmin, config.ray_far),
         c_spacing, c_tmax, c_active, S, n_rounds,
-        compact_div=4,
+        compact_div=2,
     )
 
     # --- conservative full-res window from the coarse depth ----------------
@@ -488,9 +489,13 @@ def raycast(
     sign = jnp.where(flip, -1.0, 1.0)
     nx, ny, nz = nx * sign, ny * sign, nz * sign
 
-    color, _ = RC.sample_color_nearest_axes(
-        cache, volume, px, py, pz, config
-    )
+    if with_color:
+        color, _ = RC.sample_color_nearest_axes(
+            cache, volume, px, py, pz, config
+        )
+    else:
+        # Depth-only tracking doesn't read model color; skip ~5 gathers/px.
+        color = jnp.zeros((height, width, 3))
 
     valid = hit & n_ok
     m = valid[..., None]

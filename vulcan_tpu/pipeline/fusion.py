@@ -85,7 +85,9 @@ def init_state(
     return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
 
 
-def _fuse_and_render(volume, frame: Frame, filtered_depth, config, h, w):
+def _fuse_and_render(
+    volume, frame: Frame, filtered_depth, config, h, w, with_color=True
+):
     volume = allocate.allocate_for_frame(
         volume, filtered_depth, frame.camera, frame.pose, config
     )
@@ -94,7 +96,8 @@ def _fuse_and_render(volume, frame: Frame, filtered_depth, config, h, w):
     )
     volume = sparse.integrate_sparse(volume, frame, config)
     render = raycast.raycast(
-        volume, frame.camera, frame.pose, h, w, config
+        volume, frame.camera, frame.pose, h, w, config,
+        with_color=with_color,
     )
     return volume, render
 
@@ -123,9 +126,11 @@ def step(
     pose = result.pose
 
     # --- fuse + render with the tracked pose ---
+    # Depth-only tracking never reads model color; skip its render cost.
     tracked = Frame(depth, color, camera, pose)
     volume, render = _fuse_and_render(
-        state.volume, tracked, live_pyr[0].depth, config, h, w
+        state.volume, tracked, live_pyr[0].depth, config, h, w,
+        with_color=(mode != "depth"),
     )
     return dataclasses.replace(
         state,
