@@ -29,7 +29,7 @@ def test_sharded_matches_single_device():
     from vulcan_tpu.config import TINY
     from vulcan_tpu.core.camera import PinholeCamera
     from vulcan_tpu.core.se3 import SE3
-    from vulcan_tpu.io.synthetic import render_sphere_depth
+    from vulcan_tpu.io.synthetic import render_scene_depth
     from vulcan_tpu.parallel.sharding import (
         make_mesh,
         make_sharded_step,
@@ -40,8 +40,12 @@ def test_sharded_matches_single_device():
     h, w = 64, 128
     config = TINY
     camera = PinholeCamera.create(80.0, 80.0, w / 2 - 0.5, h / 2 - 0.5)
-    depth, color = render_sphere_depth(
-        camera, SE3.identity(), h, w, (0.0, 0.0, 1.5), 0.5
+    # A single centered sphere is rotationally degenerate for ICP (poses
+    # can slide); two spheres + a back wall constrain all 6 DoF.
+    depth, color = render_scene_depth(
+        camera, SE3.identity(), h, w,
+        (((0.0, 0.0, 1.5), 0.5), ((0.45, 0.25, 1.1), 0.2)),
+        floor_z=2.5,
     )
 
     # Single device.

@@ -193,3 +193,23 @@ def test_tum_dataset_reader(tmp_path):
     np.testing.assert_allclose(
         np.asarray(gt.translation), [0.1, 0.2, 0.3], atol=1e-6
     )
+
+
+def test_closed_loop_tracking_splat_renderer():
+    """Closed-loop ICP driven by the surfel-splat renderer (render_mode=
+    'splat'): must stay within ~2x the march renderer's ATE."""
+    cfg = dataclasses.replace(CFG, render_mode="splat")
+    n = 12
+    poses = orbit_poses(n, (0.0, 0.0, 0.0), radius=1.6, height=0.35,
+                        span=0.6 * np.pi)
+    pipe = Pipeline(cfg, CAM, H, W, init_pose=poses[0])
+    est, gt = [], []
+    for pose in poses:
+        depth, color = scene(pose)
+        pipe.process(depth, color)
+        est.append(np.asarray(pipe.pose.translation))
+        gt.append(np.asarray(pose.translation))
+    diag = pipe.diagnostics()
+    assert diag["track_inliers"] > 1000
+    rmse = ate_rmse(np.stack(est), np.stack(gt))
+    assert rmse < 0.02, f"splat-renderer ATE RMSE {rmse:.4f} m"

@@ -165,3 +165,37 @@ def test_visibility_culls_behind_camera():
     away = look_at((10.0, 0.0, 0.0), (20.0, 0.0, 0.0))
     vol2 = allocate.update_visibility(vol, CAM, away, H, W, CFG)
     assert int(vol2.num_visible) == 0
+
+
+def test_splat_renderer_roundtrip():
+    """The surfel-splatting renderer (render_mode='splat') reproduces the
+    fused sphere nearly as well as the hierarchical march."""
+    cfg = dataclasses.replace(CFG, render_mode="splat")
+    vol = blocks.create_volume(cfg)
+    for pose in orbit_poses(8, CENTER, radius=1.6, height=0.3):
+        depth, color = render_sphere_depth(CAM, pose, H, W, CENTER, RADIUS)
+        frame = make_frame(depth, color, CAM, pose)
+        vol = allocate.allocate_for_frame(vol, frame.depth, CAM, pose, cfg)
+        vol = allocate.update_visibility(vol, CAM, pose, H, W, cfg)
+        vol = sparse.integrate_sparse(vol, frame, cfg)
+
+    test_pose = orbit_poses(16, CENTER, radius=1.6, height=0.3)[1]
+    vol = allocate.update_visibility(vol, CAM, test_pose, H, W, cfg)
+    out = raycast.render(vol, CAM, test_pose, H, W, cfg)
+    true_depth, _ = render_sphere_depth(CAM, test_pose, H, W, CENTER, RADIUS)
+
+    got = np.asarray(out.depth)
+    valid = np.asarray(out.valid) & (np.asarray(true_depth) > 0)
+    assert valid.mean() > 0.1, "splat found almost no surface"
+    err = np.abs(got[valid] - np.asarray(true_depth)[valid])
+    assert np.median(err) < cfg.voxel_size
+    assert np.mean(err) < 2 * cfg.trunc_dist
+
+    false_hits = np.asarray(out.valid) & (np.asarray(true_depth) == 0)
+    assert false_hits.mean() < 0.05
+
+    p = np.asarray(out.vertex_world)[valid]
+    n_got = np.asarray(out.normal_world)[valid]
+    n_true = p - np.asarray(CENTER)
+    n_true /= np.maximum(np.linalg.norm(n_true, axis=-1, keepdims=True), 1e-9)
+    assert np.mean(np.sum(n_got * n_true, axis=-1)) > 0.85

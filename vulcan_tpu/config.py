@@ -47,6 +47,15 @@ class Config:
     raycast_coarse: int = 4            # coarse march at 1/N resolution
     raycast_step_scale: float = 0.75   # sample spacing in units of mu
     refine_steps: int = 1              # trilinear secant polish rounds
+    render_mode: str = "splat"         # "splat" (surfel scatter renderer,
+                                       #   ~2x faster, equal tracking ATE)
+                                       # or "march" (hierarchical raycast)
+    splat_fill_rounds: int = 2         # hole-fill dilation rounds
+    splat_polish: int = 0              # trilinear snap rounds (0 = off:
+                                       #   one linear secant over a +-2
+                                       #   voxel bracket MOVES depth wrong
+                                       #   where tsdf is nonlinear; >=2 is
+                                       #   safe but costs a gather round)
 
     # --- bilateral filter ---
     bilateral_radius: int = 2

@@ -512,6 +512,28 @@ def raycast(
     )
 
 
+def render(
+    volume: B.VolumeState,
+    camera: PinholeCamera,
+    pose: SE3,
+    height: int,
+    width: int,
+    config: Config,
+    normals: str = "cross",
+    with_color: bool = True,
+) -> Render:
+    """Render model maps with the configured renderer (march or splat)."""
+    if config.render_mode == "splat":
+        from . import splat
+
+        return splat.render_splat(
+            volume, camera, pose, height, width, config, normals, with_color
+        )
+    return raycast(
+        volume, camera, pose, height, width, config, normals, with_color
+    )
+
+
 def _cross_normals_axes(px, py, pz, hit):
     """Image-space forward-difference cross-product normals, planar."""
     from .preprocess import _shift2d

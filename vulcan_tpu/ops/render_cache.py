@@ -232,6 +232,28 @@ def sample_trilinear_axes(cache: RenderCache, px, py, pz, config: Config):
     return val, ok
 
 
+def sample_march_trilinear_axes(cache: RenderCache, px, py, pz, config: Config):
+    """Trilinear on the QUANTIZED march texture: one gather per corner
+    (value and observed-mask in the same read; 1/127 mu resolution).  Used
+    where the f32 halo's extra precision isn't worth doubling the gathers
+    (splat polish)."""
+    x0, y0, z0, fx, fy, fz = _floor_axes(px, py, pz, config)
+    row, lx, ly, lz = _row_and_local(cache, x0, y0, z0, config)
+    val = jnp.zeros(row.shape, jnp.float32)
+    ok = row > 0
+    for dx in (0, 1):
+        wx = fx if dx else 1.0 - fx
+        for dy in (0, 1):
+            wy = fy if dy else 1.0 - fy
+            for dz in (0, 1):
+                wz = fz if dz else 1.0 - fz
+                hidx = ((row * 9 + lx + dx) * 9 + ly + dy) * 9 + lz + dz
+                m = cache.march[hidx]
+                val = val + (wx * wy * wz) * m.astype(jnp.float32)
+                ok = ok & (m != MARCH_UNSEEN)
+    return val * (1.0 / 127.0), ok
+
+
 def sample_color_nearest_axes(
     cache: RenderCache, volume: B.VolumeState, px, py, pz, config: Config
 ):

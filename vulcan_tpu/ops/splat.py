@@ -1,0 +1,277 @@
+"""Surfel-splatting renderer: the scatter-based alternative to ray marching.
+
+Motivation (PERFORMANCE.md): per-pixel volume sampling costs ~20M random
+gathers per 640x480 frame against a ~120M/s platform rate.  Splatting
+inverts the loop -- iterate over the VOLUME's surface, not over pixels:
+
+  1. **Surfel extraction** (dense, per visible block): a zero crossing of
+     the TSDF along +x/+y/+z between neighboring voxels is a surface point
+     with a sub-voxel offset t = f0/(f0-f1).  Pure slice arithmetic on the
+     render-cache halos -- no random access.
+  2. **Splat**: project every candidate voxel-edge crossing and
+     scatter-min its camera depth into the z-buffer, masked (no compaction
+     pass at all: masked scatters run ~300M/s here, cheaper than any
+     sort-based surfel selection, and nothing is ever dropped).
+     Back-facing crossings are culled by their axis-aligned normal sign.
+  3. **Hole fill**: surfels are ~1 px apart at range; small holes close
+     with valid-neighbor-min dilation rounds (dense shifts), gated on
+     neighborhood depth consistency so silhouettes don't bleed.
+  4. **Polish** (optional): trilinear secant rounds snap the splatted
+     depth onto the exact view-ray zero crossing; depth + normal smoothing
+     remove the residual pixel-quantization noise.
+
+Trade-offs vs the hierarchical march (ops/raycast.py): ~5x fewer random
+accesses; silhouettes can bleed by up to the fill radius into unseen
+pixels.  Select with ``Config.render_mode = "splat"``.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..core.camera import PinholeCamera
+from ..core.se3 import SE3
+from . import blocks as B
+from . import render_cache as RC
+from .raycast import Render, _cross_normals_axes
+
+def render_splat(
+    volume: B.VolumeState,
+    camera: PinholeCamera,
+    pose: SE3,
+    height: int,
+    width: int,
+    config: Config,
+    normals: str = "cross",
+    with_color: bool = True,
+    cache: RC.RenderCache | None = None,
+) -> Render:
+    """Render model maps by surfel splatting (see module docstring)."""
+    vs = config.voxel_size
+    if cache is None:
+        cache = RC.build(volume, config)
+    w2c = pose.inverse()
+
+    V = volume.visible_ids.shape[0]
+    C = min(1024, V)
+    n_chunks = (volume.num_visible + C - 1) // C
+
+    zbuf0 = jnp.full((height * width,), jnp.inf, jnp.float32)
+    R = w2c.rotation
+    tr = w2c.translation
+
+    lidx = jnp.arange(512, dtype=jnp.int32)[None, :]       # (1, 512)
+    lx = (lidx // 64).astype(jnp.float32)
+    ly = ((lidx // 8) % 8).astype(jnp.float32)
+    lz = (lidx % 8).astype(jnp.float32)
+
+    def body(carry):
+        i, zbuf = carry
+        start = i * C
+        off = (start + 1) * 729
+        t = jax.lax.dynamic_slice_in_dim(cache.tsdf, off, C * 729).reshape(
+            C, 9, 9, 9
+        )
+        m = jax.lax.dynamic_slice_in_dim(cache.march, off, C * 729).reshape(
+            C, 9, 9, 9
+        )
+        obs = m != RC.MARCH_UNSEEN
+        f0 = t[:, :8, :8, :8].reshape(C, 512)
+        o0 = obs[:, :8, :8, :8].reshape(C, 512)
+        rows = start + 1 + jnp.arange(C, dtype=jnp.int32)
+        coords = volume.block_coords[cache.row_block[rows]]  # (C, 3)
+        bx = (coords[:, 0:1] * 8).astype(jnp.float32) + lx
+        by = (coords[:, 1:2] * 8).astype(jnp.float32) + ly
+        bz = (coords[:, 2:3] * 8).astype(jnp.float32) + lz
+
+        for axis, sl in enumerate(
+            (
+                (slice(1, 9), slice(0, 8), slice(0, 8)),
+                (slice(0, 8), slice(1, 9), slice(0, 8)),
+                (slice(0, 8), slice(0, 8), slice(1, 9)),
+            )
+        ):
+            f1 = t[:, sl[0], sl[1], sl[2]].reshape(C, 512)
+            o1 = obs[:, sl[0], sl[1], sl[2]].reshape(C, 512)
+            crossing = o0 & o1 & ((f0 > 0.0) != (f1 > 0.0))
+            tt = jnp.clip(
+                f0 / jnp.where(jnp.abs(f0 - f1) > 1e-12, f0 - f1, 1.0),
+                0.0,
+                1.0,
+            )
+            px = bx + tt * (axis == 0)
+            py = by + tt * (axis == 1)
+            pz = bz + tt * (axis == 2)
+            wx = px * vs
+            wy = py * vs
+            wz = pz * vs
+            cx = R[0, 0] * wx + R[0, 1] * wy + R[0, 2] * wz + tr[0]
+            cy = R[1, 0] * wx + R[1, 1] * wy + R[1, 2] * wz + tr[1]
+            cz = R[2, 0] * wx + R[2, 1] * wy + R[2, 2] * wz + tr[2]
+            # Back-face cull: normal ~ -sign(f0) * e_axis (toward +TSDF);
+            # front-facing iff ray . normal < 0.  Crude but kills far-side
+            # surfaces showing through front-side holes.
+            sgn = jnp.where(f0 > 0.0, -1.0, 1.0)
+            ndot = sgn * (
+                R[0, axis] * cx + R[1, axis] * cy + R[2, axis] * cz
+            )
+            zok = (
+                crossing
+                & (cz > config.ray_near)
+                & (cz < config.ray_far)
+                & (ndot < 0.0)
+            )
+            zc = jnp.maximum(cz, 1e-6)
+            u = jnp.round(camera.fx * cx / zc + camera.cx).astype(jnp.int32)
+            v = jnp.round(camera.fy * cy / zc + camera.cy).astype(jnp.int32)
+            inb = (u >= 0) & (u < width) & (v >= 0) & (v < height) & zok
+            pix = jnp.where(inb, v * width + u, height * width)
+            zbuf = zbuf.at[pix.reshape(-1)].min(
+                jnp.where(inb, cz, jnp.inf).reshape(-1), mode="drop"
+            )
+        return i + 1, zbuf
+
+    def cond(carry):
+        return carry[0] < n_chunks
+
+    _, zbuf = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), zbuf0)
+    )
+    depth = zbuf.reshape(height, width)
+    has = jnp.isfinite(depth)
+
+    # --- hole fill: valid-neighbor min (foreground-biased) ------------------
+    from .preprocess import _shift2d
+
+    d = jnp.where(has, depth, jnp.inf)
+    mu = config.trunc_dist
+    for _ in range(config.splat_fill_rounds):
+        best = d
+        worst = jnp.where(jnp.isfinite(d), d, -jnp.inf)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                n_d = _shift2d(d, dy, dx, fill=jnp.inf)
+                best = jnp.minimum(best, n_d)
+                worst = jnp.maximum(
+                    worst, jnp.where(jnp.isfinite(n_d), n_d, -jnp.inf)
+                )
+        # Fill only where the neighborhood agrees on one surface: filling
+        # across a silhouette (large near/far spread) bleeds depth.
+        consistent = (worst - best) < 2.0 * mu
+        d = jnp.where(jnp.isfinite(d) | ~consistent, d, best)
+    # Edge-aware smoothing: splatted depth is pixel-quantized (+-0.5 px of
+    # surfel rounding), which makes cross-product normals noisy.  Average
+    # valid neighbors within half a truncation band of the center.
+    for _ in range(1):
+        acc = jnp.where(jnp.isfinite(d), d, 0.0)
+        cnt = jnp.isfinite(d).astype(jnp.float32)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                n_d = _shift2d(d, dy, dx, fill=jnp.inf)
+                ok = jnp.isfinite(n_d) & (jnp.abs(n_d - d) < 0.5 * mu)
+                acc = acc + jnp.where(ok, n_d, 0.0)
+                cnt = cnt + ok
+        d = jnp.where(jnp.isfinite(d), acc / jnp.maximum(cnt, 1.0), d)
+    depth = jnp.where(jnp.isfinite(d), d, 0.0)
+    hit = depth > 0.0
+
+    # --- view-ray geometry ---------------------------------------------------
+    rays_cam = camera.rays(height, width)
+    rays_world = pose.rotate(rays_cam)
+    dx_ = rays_world[..., 0]
+    dy_ = rays_world[..., 1]
+    dz_ = rays_world[..., 2]
+    origin = pose.translation
+    ox, oy, oz = origin[0], origin[1], origin[2]
+
+    # --- optional trilinear polish onto the exact ray crossing --------------
+    t_surf = depth
+    if config.splat_polish > 0:
+        inv_dn = 1.0 / jnp.maximum(
+            jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_), 1e-9
+        )
+        half = 2.0 * vs * inv_dn
+
+        def sample_tri(t):
+            return RC.sample_march_trilinear_axes(
+                cache, ox + t * dx_, oy + t * dy_, oz + t * dz_, config
+            )
+
+        t_lo = t_surf - half
+        t_hi = t_surf + half
+        f_both, ok_both = sample_tri(jnp.stack([t_lo, t_hi], axis=0))
+        f_lo, f_hi = f_both[0], f_both[1]
+        bracket = (f_lo > 0.0) & (f_hi <= 0.0) & ok_both[0] & ok_both[1]
+        for _ in range(config.splat_polish - 1):
+            denom = f_lo - f_hi
+            alpha = jnp.where(jnp.abs(denom) > 1e-12, f_lo / denom, 0.5)
+            t_mid = t_lo + jnp.clip(alpha, 0.0, 1.0) * (t_hi - t_lo)
+            f_mid, _ = sample_tri(t_mid)
+            posm = f_mid > 0.0
+            t_lo = jnp.where(posm, t_mid, t_lo)
+            f_lo = jnp.where(posm, f_mid, f_lo)
+            t_hi = jnp.where(posm, t_hi, t_mid)
+            f_hi = jnp.where(posm, f_hi, f_mid)
+        denom = f_lo - f_hi
+        alpha = jnp.where(jnp.abs(denom) > 1e-12, f_lo / denom, 0.5)
+        t_ref = t_lo + jnp.clip(alpha, 0.0, 1.0) * (t_hi - t_lo)
+        t_surf = jnp.where(bracket & hit, t_ref, t_surf)
+
+    px = ox + t_surf * dx_
+    py = oy + t_surf * dy_
+    pz = oz + t_surf * dz_
+
+    if normals == "gradient":
+        nx, ny, nz, n_ok = RC.sample_gradient_axes(cache, px, py, pz, config)
+    else:
+        nx, ny, nz, n_ok = _cross_normals_axes(px, py, pz, hit)
+    flip = nx * dx_ + ny * dy_ + nz * dz_ > 0.0
+    sign = jnp.where(flip, -1.0, 1.0)
+    nx, ny, nz = nx * sign, ny * sign, nz * sign
+
+    # Normal smoothing (vector mean over valid 3x3, renormalized): residual
+    # splat quantization makes raw cross-product normals noisy.
+    for _ in range(1):
+        ax = jnp.where(n_ok, nx, 0.0)
+        ay = jnp.where(n_ok, ny, 0.0)
+        az = jnp.where(n_ok, nz, 0.0)
+        sx_, sy_, sz_ = ax, ay, az
+        for ddy in (-1, 0, 1):
+            for ddx in (-1, 0, 1):
+                if ddx == 0 and ddy == 0:
+                    continue
+                sx_ = sx_ + _shift2d(ax, ddy, ddx)
+                sy_ = sy_ + _shift2d(ay, ddy, ddx)
+                sz_ = sz_ + _shift2d(az, ddy, ddx)
+        nrm = jnp.sqrt(sx_ * sx_ + sy_ * sy_ + sz_ * sz_)
+        good = nrm > 1e-6
+        inv = 1.0 / jnp.maximum(nrm, 1e-6)
+        nx = jnp.where(good & n_ok, sx_ * inv, nx)
+        ny = jnp.where(good & n_ok, sy_ * inv, ny)
+        nz = jnp.where(good & n_ok, sz_ * inv, nz)
+
+    if with_color:
+        color, _ = RC.sample_color_nearest_axes(
+            cache, volume, px, py, pz, config
+        )
+    else:
+        color = jnp.zeros((height, width, 3))
+
+    valid = hit & n_ok
+    m = valid[..., None]
+    return Render(
+        depth=jnp.where(valid, t_surf, 0.0),
+        vertex_world=jnp.where(
+            m, jnp.stack([px, py, pz], axis=-1), 0.0
+        ),
+        normal_world=jnp.where(m, jnp.stack([nx, ny, nz], axis=-1), 0.0),
+        color=jnp.where(m, color, 0.0),
+        valid=valid,
+        camera=camera,
+        pose=pose,
+    )

@@ -159,7 +159,7 @@ class Tracer:
     ) -> _raycast.Render:
         if update_visibility:
             self.volume.update_visibility(camera, pose, height, width)
-        return _raycast.raycast(
+        return _raycast.render(
             self.volume.state, camera, pose, height, width,
             self.volume.config, normals,
         )

@@ -95,7 +95,7 @@ def _fuse_and_render(
         volume, frame.camera, frame.pose, h, w, config
     )
     volume = sparse.integrate_sparse(volume, frame, config)
-    render = raycast.raycast(
+    render = raycast.render(
         volume, frame.camera, frame.pose, h, w, config,
         with_color=with_color,
     )
