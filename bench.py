@@ -51,9 +51,13 @@ def main():
     frames = []
     for pose in poses:
         depth, color = render_scene_depth(camera, pose, h, w, spheres, -0.6)
-        frames.append(
-            (np.asarray(depth), np.asarray(color))
-        )
+        # Raw sensor dtypes (uint16 depth @ TUM scale, uint8 color): what a
+        # real camera feed uploads; converted to metric on device.
+        d16 = np.clip(
+            np.asarray(depth) * config.depth_raw_scale, 0, 65535
+        ).astype(np.uint16)
+        c8 = np.clip(np.asarray(color) * 255.0, 0, 255).astype(np.uint8)
+        frames.append((d16, c8))
 
     state = fusion.init_state(config, camera, h, w, init_pose=poses[0])
 

@@ -35,6 +35,7 @@ class Config:
 
     # --- integration ---
     integrate_chunk: int = 1024        # visible blocks fused per loop round
+    depth_raw_scale: float = 5000.0    # uint16 depth units per meter (TUM)
     depth_min: float = 0.1             # valid depth range (meters)
     depth_max: float = 5.0
 

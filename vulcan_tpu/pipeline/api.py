@@ -239,11 +239,18 @@ class Pipeline:
         self.state = fusion.init_state(config, camera, height, width, init_pose)
 
     def process(self, depth, color=None, pose: SE3 | None = None) -> None:
-        """Feed one frame.  With ``pose`` given, runs fusion-only."""
-        depth = jnp.asarray(depth, jnp.float32)
+        """Feed one frame.  With ``pose`` given, runs fusion-only.
+
+        uint16 depth (TUM raw) and uint8 color are uploaded as-is and
+        converted on device (3.2x less host->device traffic)."""
+        depth = jnp.asarray(depth)
+        if depth.dtype not in (jnp.uint16, jnp.float32):
+            depth = depth.astype(jnp.float32)
         if color is None:
             color = jnp.zeros(depth.shape + (3,), jnp.float32)
-        color = jnp.asarray(color, jnp.float32)
+        color = jnp.asarray(color)
+        if color.dtype not in (jnp.uint8, jnp.float32):
+            color = color.astype(jnp.float32)
         if pose is not None:
             self.state = fusion.step_known_pose(
                 self.state, depth, color, pose, self.config

@@ -102,6 +102,17 @@ def _fuse_and_render(
     return volume, render
 
 
+def _to_metric(depth, color, config):
+    """Accept raw sensor dtypes and convert ON DEVICE: uint16 depth (TUM
+    1/depth_raw_scale meters) and uint8 color upload 3.2x less data than
+    f32 -- host->device transfer is a real per-frame cost."""
+    if depth.dtype == jnp.uint16:
+        depth = depth.astype(jnp.float32) * (1.0 / config.depth_raw_scale)
+    if color.dtype == jnp.uint8:
+        color = color.astype(jnp.float32) * (1.0 / 255.0)
+    return depth, color
+
+
 @partial(
     jax.jit,
     static_argnames=("config", "mode"),
@@ -115,6 +126,7 @@ def step(
     mode: str = "depth",
 ) -> PipelineState:
     """One online frame: track, fuse, raycast.  Fully on device."""
+    depth, color = _to_metric(depth, color, config)
     h, w = depth.shape
     camera = state.model.camera
     frame = Frame(depth, color, camera, state.pose)
@@ -156,6 +168,7 @@ def step_known_pose(
 ) -> PipelineState:
     """Fusion-only frame with an externally supplied pose (BASELINE.json
     configs 2-3 and evaluation with ground-truth trajectories)."""
+    depth, color = _to_metric(depth, color, config)
     h, w = depth.shape
     camera = state.model.camera
     frame = Frame(depth, color, camera, pose)
