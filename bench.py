@@ -61,16 +61,19 @@ def main():
 
     state = fusion.init_state(config, camera, h, w, init_pose=poses[0])
 
+    # Double-buffered feed: device_put of frame i+1 (async H2D) overlaps
+    # the device compute of frame i -- a real camera pipeline DMAs the
+    # next frame while the current one is processed.
+    from vulcan_tpu.utils.runtime import prefetch_to_device
+
     print("compiling + warmup...", file=sys.stderr)
-    for i in range(n_warm):
-        d, c = frames[i]
+    for d, c in prefetch_to_device(frames[:n_warm]):
         state = fusion.step(state, d, c, config)
     jax.block_until_ready(state.model.depth)
 
     print("benchmarking...", file=sys.stderr)
     t0 = time.perf_counter()
-    for i in range(n_warm, n_warm + n_bench):
-        d, c = frames[i]
+    for d, c in prefetch_to_device(frames[n_warm : n_warm + n_bench]):
         state = fusion.step(state, d, c, config)
     jax.block_until_ready(state.model.depth)
     dt = time.perf_counter() - t0

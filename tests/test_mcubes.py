@@ -60,7 +60,7 @@ def fused_sphere_volume_full(n_ring=8):
     for pose in full_coverage_poses(n_ring):
         depth, color = render_sphere_depth(CAM, pose, H, W, CENTER, RADIUS)
         frame = make_frame(depth, color, CAM, pose)
-        vol = allocate.allocate_for_frame(vol, frame.depth, CAM, pose, CFG)
+        vol, _, _ = allocate.allocate_for_frame(vol, frame.depth, CAM, pose, CFG)
         vol = allocate.update_visibility(vol, CAM, pose, H, W, CFG)
         vol = sparse.integrate_sparse(vol, frame, CFG)
     return vol
@@ -71,7 +71,7 @@ def fused_sphere_volume(n_views=10):
     for pose in orbit_poses(n_views, CENTER, radius=1.6, height=0.2):
         depth, color = render_sphere_depth(CAM, pose, H, W, CENTER, RADIUS)
         frame = make_frame(depth, color, CAM, pose)
-        vol = allocate.allocate_for_frame(vol, frame.depth, CAM, pose, CFG)
+        vol, _, _ = allocate.allocate_for_frame(vol, frame.depth, CAM, pose, CFG)
         vol = allocate.update_visibility(vol, CAM, pose, H, W, CFG)
         vol = sparse.integrate_sparse(vol, frame, CFG)
     return vol

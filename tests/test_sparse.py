@@ -27,7 +27,7 @@ def sphere_frame(pose):
 
 
 def fuse(volume, frame):
-    volume = allocate.allocate_for_frame(
+    volume, _, _ = allocate.allocate_for_frame(
         volume, frame.depth, frame.camera, frame.pose, CFG
     )
     volume = allocate.update_visibility(
@@ -175,7 +175,7 @@ def test_splat_renderer_roundtrip():
     for pose in orbit_poses(8, CENTER, radius=1.6, height=0.3):
         depth, color = render_sphere_depth(CAM, pose, H, W, CENTER, RADIUS)
         frame = make_frame(depth, color, CAM, pose)
-        vol = allocate.allocate_for_frame(vol, frame.depth, CAM, pose, cfg)
+        vol, _, _ = allocate.allocate_for_frame(vol, frame.depth, CAM, pose, cfg)
         vol = allocate.update_visibility(vol, CAM, pose, H, W, cfg)
         vol = sparse.integrate_sparse(vol, frame, cfg)
 
@@ -199,3 +199,81 @@ def test_splat_renderer_roundtrip():
     n_true = p - np.asarray(CENTER)
     n_true /= np.maximum(np.linalg.norm(n_true, axis=-1, keepdims=True), 1e-9)
     assert np.mean(np.sum(n_got * n_true, axis=-1)) > 0.85
+
+
+def test_band_integration_matches_visible():
+    """Band-list integration (the online pipeline's fast path) renders the
+    same surface as reference-style full visible-list integration."""
+    poses = orbit_poses(3, CENTER, radius=1.6, height=0.2, span=0.3)
+    vol_a = blocks.create_volume(CFG)   # visible-list (reference semantics)
+    vol_b = blocks.create_volume(CFG)   # truncation-band list
+    for pose in poses:
+        frame = sphere_frame(pose)
+        vol_a, _, _ = allocate.allocate_for_frame(
+            vol_a, frame.depth, CAM, pose, CFG
+        )
+        vol_a = allocate.update_visibility(vol_a, CAM, pose, H, W, CFG)
+        vol_a = sparse.integrate_sparse(vol_a, frame, CFG)
+
+        vol_b, ids, n_band = allocate.allocate_for_frame(
+            vol_b, frame.depth, CAM, pose, CFG
+        )
+        vol_b = allocate.update_visibility(vol_b, CAM, pose, H, W, CFG)
+        vol_b = sparse.integrate_sparse(
+            vol_b, frame, CFG, ids=ids, count=n_band
+        )
+    assert int(vol_a.free_count) == int(vol_b.free_count)
+    r_a = raycast.render(vol_a, CAM, poses[0], H, W, CFG, with_color=False)
+    r_b = raycast.render(vol_b, CAM, poses[0], H, W, CFG, with_color=False)
+    va, vb = np.asarray(r_a.valid), np.asarray(r_b.valid)
+    both = va & vb
+    # Same coverage and (weights differ where blocks leave the band, so
+    # depths may differ slightly) near-identical surface.
+    assert both.sum() > 0.95 * va.sum()
+    d_err = np.abs(np.asarray(r_a.depth) - np.asarray(r_b.depth))[both]
+    assert np.percentile(d_err, 95) < CFG.voxel_size
+
+
+def test_splat_silhouette_bias():
+    """Quantify the splat renderer at silhouettes (round-1 VERDICT item 7):
+    hole-fill dilation must not bleed depth beyond ~fill_rounds+1 px past
+    the true silhouette, and near-edge depth must stay accurate."""
+    from scipy.ndimage import binary_dilation, binary_erosion
+
+    cfg = dataclasses.replace(CFG, render_mode="splat")
+    vol = blocks.create_volume(cfg)
+    for pose in orbit_poses(8, CENTER, radius=1.6, height=0.3):
+        frame = sphere_frame(pose)
+        vol, _, _ = allocate.allocate_for_frame(
+            vol, frame.depth, CAM, pose, cfg
+        )
+        vol = allocate.update_visibility(vol, CAM, pose, H, W, cfg)
+        vol = sparse.integrate_sparse(vol, frame, cfg)
+
+    pose = orbit_poses(16, CENTER, radius=1.6, height=0.3)[1]
+    vol = allocate.update_visibility(vol, CAM, pose, H, W, cfg)
+    out = raycast.render(vol, CAM, pose, H, W, cfg, with_color=False)
+    true_depth, _ = render_sphere_depth(CAM, pose, H, W, CENTER, RADIUS)
+    true_depth = np.asarray(true_depth)
+    true_valid = true_depth > 0
+    got_valid = np.asarray(out.valid)
+    got = np.asarray(out.depth)
+
+    # 1. Bleed bound: surfels themselves can land ~2 px outside the exact
+    #    silhouette (voxel quantization: fx * voxel / z = 120*0.02/1.1 ~
+    #    2.2 px here, plus the fused TSDF widening by up to a voxel), and
+    #    hole-fill dilates by fill_rounds more.  Beyond that: zero pixels.
+    allowed = binary_dilation(
+        true_valid, iterations=cfg.splat_fill_rounds + 3
+    )
+    bleed = got_valid & ~allowed
+    assert bleed.sum() == 0, f"{bleed.sum()} px bled past the silhouette"
+
+    # 2. Near-edge accuracy: within a 3-px band inside the silhouette the
+    #    splatted depth stays within ~2 voxels of analytic (the foreground
+    #    -biased fill must not drag edge depth to the background).
+    edge_band = true_valid & ~binary_erosion(true_valid, iterations=3)
+    sel = edge_band & got_valid & true_valid
+    assert sel.sum() > 100
+    err = np.abs(got - true_depth)[sel]
+    assert np.median(err) < 2 * cfg.voxel_size, np.median(err)

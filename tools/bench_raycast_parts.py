@@ -42,7 +42,7 @@ def main():
     pose = orbit_poses(1, radius=1.6, height=0.3)[0]
     depth, color = render_scene_depth(camera, pose, H, W, spheres, -0.6)
     frame = make_frame(depth, color, camera, pose)
-    vol = allocate.allocate_for_frame(vol, frame.depth, camera, pose, config)
+    vol, _, _ = allocate.allocate_for_frame(vol, frame.depth, camera, pose, config)
     vol = allocate.update_visibility(vol, camera, pose, H, W, config)
     vol = sparse.integrate_sparse(vol, frame, config)
     jax.block_until_ready(vol.tsdf)

@@ -81,7 +81,7 @@ def main():
     timeit("track (ICP all levels)", track_fn, pyr, model_pyr, pose)
 
     alloc_fn = jax.jit(
-        lambda v, d, p: allocate.allocate_for_frame(v, d, camera, p, config)
+        lambda v, d, p: allocate.allocate_for_frame(v, d, camera, p, config)[0]
     )
     volume = timeit("allocate", alloc_fn, volume, pyr[0].depth, pose)
 

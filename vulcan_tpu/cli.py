@@ -103,7 +103,12 @@ def cmd_run(args):
     config = _make_config(args)
 
     if args.synthetic:
-        frames = list(_synthetic_frames(args))
+        import itertools
+
+        # Stream, don't materialize: long runs must not hold every frame.
+        frame_iter = _synthetic_frames(args)
+        first = next(frame_iter)
+        frames = itertools.chain([first], frame_iter)
         from .core.camera import PinholeCamera
 
         h, w = args.height, args.width
@@ -128,7 +133,8 @@ def cmd_run(args):
         print("need --dataset or --synthetic N", file=sys.stderr)
         return 2
 
-    first = frames[0] if isinstance(frames, list) else frames.load(0)
+    if not args.synthetic:
+        first = frames.load(0)
     init_pose = first[2]
     pipe = Pipeline(config, camera, h, w, init_pose=init_pose, mode=args.mode)
     if args.resume:
@@ -143,7 +149,11 @@ def cmd_run(args):
     n_done = 0
     t_loop = None
     trace_ctx = None
-    for i, (depth, color, gt_pose) in enumerate(frames):
+    from .utils.runtime import prefetch_to_device
+
+    for i, (depth, color, gt_pose) in enumerate(
+        prefetch_to_device(frames)
+    ):
         if args.frames and i >= args.frames:
             break
         if args.trace_dir and i == 2:  # skip compile frames, then trace

@@ -24,7 +24,10 @@ class Config:
     hash_size: int = 262144            # open-addressed table slots (power of 2)
     max_probes: int = 8                # linear-probe bound for lookup/insert
     max_visible: int = 16384           # capacity of the visible-block list
-    alloc_samples: int = 8             # ray samples in [d-mu, d+mu] per pixel
+    alloc_samples: int = 4             # ray samples in [d-mu, d+mu] per pixel
+                                       # (spacing 2mu/3 = 2.7cm << 6.4cm block
+                                       #  edge; InfiniTAM strides a full block.
+                                       #  Halves the allocation sort size.)
     alloc_subsample: int = 2           # allocate from every Nth pixel (x and y)
     alloc_capacity: int = 8192         # max new+touched unique blocks per frame
     range_scale: int = 16              # coarse min/max range image downscale
@@ -59,6 +62,7 @@ class Config:
                                        #   safe but costs a gather round)
 
     # --- bilateral filter ---
+    bilateral_enabled: bool = True     # disable to measure the filter's value
     bilateral_radius: int = 2
     bilateral_sigma_space: float = 2.0
     bilateral_sigma_depth: float = 0.05
@@ -66,6 +70,11 @@ class Config:
     # --- ICP tracking (coarse-to-fine; level 0 = full res) ---
     pyramid_levels: int = 3
     icp_iters: tuple[int, ...] = (3, 5, 10)     # per level, fine -> coarse
+    icp_assoc: tuple[int, ...] = (2, 3, 5)      # association (gather) rounds
+                                       # per level; GN re-linearizes densely
+                                       # between gathers (warp-once: the
+                                       # association gathers dominate ICP
+                                       # cost on TPU, ~120M random elem/s)
     icp_stride: int = 2                # live-pixel stride at the finest level
                                        # (4x fewer association gathers; the
                                        #  model side stays full-res)
@@ -73,16 +82,44 @@ class Config:
     icp_normal_thresh: float = 0.8
     icp_damping: float = 1e-4          # relative Levenberg damping on the 6x6
     icp_huber_delta: float = 0.03      # Huber width for point-to-plane (m)
+    icp_min_inliers: int = 100         # fewer associated pixels => track invalid
+    icp_max_error: float = 0.05        # robust rms (m) above which the track
+                                       # is distrusted and fusion is skipped
     rgb_weight: float = 0.1            # photometric term weight ("combined")
     rgb_huber_delta: float = 0.1       # Huber width for intensity residuals
 
     # --- mesh extraction ---
     max_mesh_triangles: int = 2_000_000
+    mesh_chunk: int = 1024             # blocks meshed per loop round (bounds
+                                       # halo temporaries to ~15 MB; the loop
+                                       # trip count follows free_count)
 
     def __post_init__(self):
         assert self.block_size == 8, "voxel blocks are 8^3 (InfiniTAM layout)"
         assert self.hash_size & (self.hash_size - 1) == 0, "hash_size must be a power of 2"
         assert len(self.icp_iters) == self.pyramid_levels
+        assert len(self.icp_assoc) == self.pyramid_levels
+        # The chunked visible-block loops (sparse.integrate_sparse,
+        # render_cache.build, splat.render_splat) slice at start=i*chunk
+        # with chunk=min(pow2, max_visible); if the chunk did not divide
+        # max_visible, the last dynamic_slice start would clamp and pair
+        # shifted ids/halo rows with unshifted row_valid masks -- silent
+        # double integration.  Powers of two make every min() divide.
+        assert self.max_visible & (self.max_visible - 1) == 0, (
+            "max_visible must be a power of 2 (chunked-loop divisibility)"
+        )
+        assert self.integrate_chunk & (self.integrate_chunk - 1) == 0, (
+            "integrate_chunk must be a power of 2 (chunked-loop divisibility)"
+        )
+        assert self.num_blocks & (self.num_blocks - 1) == 0, (
+            "num_blocks must be a power of 2 (chunked-loop divisibility)"
+        )
+        assert self.alloc_capacity & (self.alloc_capacity - 1) == 0, (
+            "alloc_capacity must be a power of 2 (chunked-loop divisibility)"
+        )
+        assert self.mesh_chunk & (self.mesh_chunk - 1) == 0, (
+            "mesh_chunk must be a power of 2 (chunked-loop divisibility)"
+        )
 
     @property
     def block_volume(self) -> int:

@@ -72,6 +72,20 @@ class PinholeCamera:
         uv = self.pixel_grid(height, width, dtype)
         return self.unproject(uv, jnp.ones((height, width), dtype))
 
+    def subsampled(self, step: int) -> "PinholeCamera":
+        """Intrinsics for nearest ``[::step, ::step]`` subsampling.
+
+        Output pixel i maps to input pixel ``step * i`` exactly, so
+        u' = u / step with NO half-pixel shift -- unlike :meth:`scaled`,
+        whose convention matches 2x2-average pooling.  Using scaled() for
+        a nearest-subsampled pyramid biases projective association by
+        0.25 px per level (advisor finding, round 1).
+        """
+        s = jnp.asarray(1.0 / step, self.fx.dtype)
+        return PinholeCamera(
+            self.fx * s, self.fy * s, self.cx * s, self.cy * s
+        )
+
     def scaled(self, factor: float) -> "PinholeCamera":
         """Intrinsics for an image downsampled by ``factor`` (e.g. 0.5).
 

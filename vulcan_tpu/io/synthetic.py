@@ -94,6 +94,45 @@ def render_sphere_depth(
     return depth, color
 
 
+def add_depth_noise(
+    depth,
+    rng: np.random.Generator,
+    sigma_base: float = 1.2e-3,
+    sigma_quad: float = 1.9e-3,
+    dropout: float = 0.02,
+    hole_count: int = 4,
+    hole_radius: int = 6,
+    quantize: float = 1.0 / 5000.0,
+):
+    """Kinect-class sensor noise on an exact synthetic depth image.
+
+    Models the three dominant Kinect/Primesense artifacts (Khoshelham &
+    Elberink 2012): axial noise growing quadratically with range
+    (sigma(z) = sigma_base + sigma_quad * (z - 0.4)^2), random pixel
+    dropout plus a few blob-shaped holes (occlusion shadows / IR
+    absorption), and disparity quantization (TUM uint16 = 0.2 mm steps).
+    Returns a float32 numpy array; invalid stays 0.
+    """
+    d = np.asarray(depth, np.float32).copy()
+    valid = d > 0.0
+    z = np.where(valid, d, 1.0)
+    sigma = sigma_base + sigma_quad * np.square(np.maximum(z - 0.4, 0.0))
+    d = d + np.where(valid, rng.normal(0.0, 1.0, d.shape) * sigma, 0.0)
+    # Random pixel dropout.
+    drop = rng.uniform(size=d.shape) < dropout
+    # Blob holes: a few disks of invalid depth.
+    h, w = d.shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    for _ in range(hole_count):
+        cy, cx = rng.integers(0, h), rng.integers(0, w)
+        r = rng.integers(hole_radius // 2, hole_radius + 1)
+        drop |= (yy - cy) ** 2 + (xx - cx) ** 2 < r * r
+    d = np.where(valid & ~drop, d, 0.0)
+    if quantize > 0:
+        d = np.round(d / quantize) * quantize
+    return d.astype(np.float32)
+
+
 def render_scene_depth(
     camera: PinholeCamera,
     pose: SE3,

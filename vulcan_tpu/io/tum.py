@@ -113,7 +113,41 @@ class TumDataset:
                 )
             )
         self.frames = frames
-        self.camera = PinholeCamera.tum_default()
+        self.camera = self._probe_camera()
+
+    def _probe_camera(self) -> PinholeCamera:
+        """fr1 intrinsics, scaled to the sequence's actual image size
+        (a fixed 640x480 camera silently breaks fusion geometry on
+        resized captures)."""
+        if not self.frames:
+            return PinholeCamera.tum_default()
+        w, h = 640, 480
+        try:
+            from .. import native
+
+            if native.available():
+                w, h = native.png_probe(self.frames[0].depth_path)
+            else:
+                raise RuntimeError
+        except Exception:
+            try:
+                import cv2
+
+                img = cv2.imread(
+                    self.frames[0].depth_path, cv2.IMREAD_UNCHANGED
+                )
+                if img is not None:
+                    h, w = img.shape[:2]
+            except Exception:
+                pass
+        sx, sy = w / 640.0, h / 480.0
+        base = PinholeCamera.tum_default()
+        return PinholeCamera.create(
+            float(base.fx) * sx,
+            float(base.fy) * sy,
+            (float(base.cx) + 0.5) * sx - 0.5,
+            (float(base.cy) + 0.5) * sy - 0.5,
+        )
 
     def __len__(self):
         return len(self.frames)
@@ -124,9 +158,13 @@ class TumDataset:
 
         ref = self.frames[idx]
         d16 = cv2.imread(ref.depth_path, cv2.IMREAD_UNCHANGED)
+        if d16 is None:
+            raise IOError(f"failed to decode depth image {ref.depth_path}")
         depth = d16.astype(np.float32) / DEPTH_SCALE
         if ref.rgb_path:
             bgr = cv2.imread(ref.rgb_path, cv2.IMREAD_COLOR)
+            if bgr is None:
+                raise IOError(f"failed to decode rgb image {ref.rgb_path}")
             color = bgr[..., ::-1].astype(np.float32) / 255.0
         else:
             color = np.zeros(depth.shape + (3,), np.float32)

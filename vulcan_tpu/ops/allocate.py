@@ -85,8 +85,15 @@ def allocate_for_frame(
     camera: PinholeCamera,
     pose: SE3,
     config: Config,
-) -> B.VolumeState:
-    """Allocate every block touched by this frame's truncation band."""
+):
+    """Allocate every block touched by this frame's truncation band.
+
+    Returns ``(volume, band_ids, n_band)``: the band list is the compacted
+    block indices of THIS frame's truncation band -- exactly the blocks
+    whose voxels the frame's depth can change, and therefore the integration
+    work list (a fraction of the frustum-visible set, which accumulates the
+    whole scene history in view; see integrate_sparse).
+    """
     codes = candidate_block_codes(depth, camera, pose, config)
     uniq, _, n_dropped = dedup_codes(codes, config.alloc_capacity)
     want = uniq != B.INVALID_CODE
@@ -106,7 +113,7 @@ def allocate_for_frame(
     block_coords = volume.block_coords.at[tgt].set(coords, mode="drop")
 
     overflow = volume.alloc_overflow + n_dropped + jnp.sum(~ok)
-    return dataclasses.replace(
+    volume = dataclasses.replace(
         volume,
         hash_codes=codes_t,
         hash_values=values,
@@ -114,6 +121,11 @@ def allocate_for_frame(
         block_coords=block_coords,
         alloc_overflow=overflow.astype(jnp.int32),
     )
+    # dedup_codes compacts unique codes to a sorted prefix, so `want` is a
+    # prefix mask and the band list is already dense.
+    band_ids = jnp.where(want & ok, assigned, 0)
+    n_band = jnp.sum(want).astype(jnp.int32)
+    return volume, band_ids, n_band
 
 
 def update_visibility(

@@ -69,7 +69,7 @@ def model_pyramid(render: Render, levels: int) -> tuple[ModelMaps, ...]:
     for level in range(levels):
         if level > 0:
             v, n, c, ok = v[::2, ::2], n[::2, ::2], c[::2, ::2], ok[::2, ::2]
-            cam = cam.scaled(0.5)
+            cam = cam.subsampled(2)
         maps.append(ModelMaps(v, n, c, ok, cam, w2c))
     return tuple(maps)
 
@@ -132,34 +132,46 @@ def _huber_weight(r, delta):
     return jnp.where(a <= delta, 1.0, delta / jnp.maximum(a, 1e-12))
 
 
-def depth_rows(
+def associate_depth(
     live: FrameMaps, model: ModelMaps, pose: SE3, config: Config
 ):
-    """Point-to-plane rows for every live pixel at one pyramid level.
+    """Projective association: the GATHER half of point-to-plane ICP.
 
-    Returns (J (N,6), r (N,), w (N,)) with w=0 for gated-out pixels.
+    For each live pixel, warp into the model frame at ``pose`` and sample
+    the model vertex/normal maps (nearest).  Returns (v_m, n_m, ok) --
+    fixed correspondences for the dense GN re-linearizations that follow
+    (warp-once: on TPU the random-access sampling here dominates ICP cost,
+    so it runs ``icp_assoc[level]`` times per level, not once per GN
+    iteration like the reference's per-pixel kernel).
     """
-    v_live = live.vertices
-    n_live = live.normals
-    live_ok = live.depth > 0.0
-
-    v_w = pose.apply(v_live)                      # live vertices in world
-    n_w = pose.rotate(n_live)
+    v_w = pose.apply(live.vertices)
     p_m = model.world_to_cam.apply(v_w)
     uv = model.camera.project(p_m)
-
     v_m, ok_v = _sample_nearest_masked(
         model.vertex_world, model.valid, uv
     )
     n_m, _ = _sample_nearest_masked(model.normal_world, model.valid, uv)
+    ok = (live.depth > 0.0) & ok_v & (p_m[..., 2] > 0.0)
+    return v_m, n_m, ok
+
+
+def depth_rows_fixed(
+    live: FrameMaps, v_m, n_m, assoc_ok, pose: SE3, config: Config
+):
+    """Point-to-plane rows from FIXED correspondences: pure dense math.
+
+    Returns (J (N,6), r (N,), w (N,)) with w=0 for gated-out pixels.  The
+    distance/normal gates re-evaluate against the CURRENT pose so stale
+    pairs drop out as the estimate moves.
+    """
+    v_w = pose.apply(live.vertices)               # live vertices in world
+    n_w = pose.rotate(live.normals)
 
     diff = v_w - v_m
     dist = jnp.linalg.norm(diff, axis=-1)
     n_dot = jnp.sum(n_w * n_m, axis=-1)
     gate = (
-        live_ok
-        & ok_v
-        & (p_m[..., 2] > 0.0)
+        assoc_ok
         & (dist < config.icp_dist_thresh)
         & (n_dot > config.icp_normal_thresh)
     )
@@ -171,6 +183,14 @@ def depth_rows(
         r.reshape(-1),
         w.reshape(-1),
     )
+
+
+def depth_rows(
+    live: FrameMaps, model: ModelMaps, pose: SE3, config: Config
+):
+    """Associate + rows in one call (reference-style per-iteration path)."""
+    v_m, n_m, ok = associate_depth(live, model, pose, config)
+    return depth_rows_fixed(live, v_m, n_m, ok, pose, config)
 
 
 def color_rows(
@@ -294,6 +314,37 @@ def track(
                 camera=live.camera,
             )
 
+        if mode == "depth":
+            # Warp-once: ``icp_assoc[level]`` association (gather) rounds,
+            # each followed by dense GN re-linearizations on the fixed
+            # correspondences -- the reference re-associates every
+            # iteration, which on TPU pays the full random-access rate
+            # per iteration for associations that barely move.
+            rounds = max(1, min(config.icp_assoc[level], iters))
+            inner = -(-iters // rounds)  # ceil
+
+            for _round in range(rounds):
+                v_m, n_m, ok = associate_depth(live, model, pose, config)
+
+                def body_fixed(_, carry, v_m=v_m, n_m=n_m, ok=ok):
+                    pose, err, inl = carry
+                    J, r, w = depth_rows_fixed(
+                        live, v_m, n_m, ok, pose, config
+                    )
+                    H, b = normal_equations(J, r, w)
+                    e = jnp.sum(w * r * r)
+                    c = jnp.sum((w > 0.0).astype(jnp.float32))
+                    delta = solve_gn(H, b, config.icp_damping)
+                    enough = c >= 6.0
+                    delta = jnp.where(enough, delta, jnp.zeros((6,)))
+                    new_pose = SE3.exp(delta) @ pose
+                    return new_pose, e / jnp.maximum(c, 1.0), c
+
+                pose, err, inl = jax.lax.fori_loop(
+                    0, inner, body_fixed, (pose, err, inl)
+                )
+            continue
+
         def body(_, carry):
             pose, err, inl = carry
             H, b, e, c = level_rows(live, model, pose)
@@ -312,5 +363,5 @@ def track(
         pose=pose,
         error=jnp.sqrt(err),
         inliers=inl.astype(jnp.int32),
-        valid=inl >= 100.0,
+        valid=inl >= float(config.icp_min_inliers),
     )

@@ -139,7 +139,11 @@ def build_pyramid(frame: Frame, config: Config) -> tuple[FrameMaps, ...]:
     Reference component #7 (``Pyramid`` [M]); the bilateral filter runs once
     at full resolution, coarser levels subsample the filtered depth.
     """
-    depth = bilateral_filter(frame.depth, config)
+    depth = (
+        bilateral_filter(frame.depth, config)
+        if config.bilateral_enabled
+        else frame.depth
+    )
     intensity = intensity_from_color(frame.color)
     camera = frame.camera
     levels = []

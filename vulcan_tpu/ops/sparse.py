@@ -64,12 +64,29 @@ def _integrate_batch(volume, frame, ids, row_valid, config):
 
 
 def integrate_sparse(
-    volume: B.VolumeState, frame: Frame, config: Config
+    volume: B.VolumeState,
+    frame: Frame,
+    config: Config,
+    ids: jax.Array | None = None,
+    count: jax.Array | None = None,
 ) -> B.VolumeState:
-    """Fuse one frame into the blocks listed in ``volume.visible_ids``."""
-    V = volume.visible_ids.shape[0]
+    """Fuse one frame into the listed blocks.
+
+    Default work list: ``volume.visible_ids`` (the reference semantics:
+    integrate every frustum-visible block).  The online pipeline passes the
+    frame's truncation-BAND list from allocation instead: only those blocks
+    can change, and the visible set accumulates the whole in-view history,
+    so band integration does ~3-5x less per-voxel depth-image sampling.
+    The one semantic difference -- free-space carving of previously-fused
+    blocks now only happens inside the band -- matches what the truncation
+    update rule can change anyway (voxels at sdf > mu clamp to +1, their
+    init value, unless they once held surface).
+    """
+    work_ids = volume.visible_ids if ids is None else ids
+    work_count = volume.num_visible if count is None else count
+    V = work_ids.shape[0]
     C = min(getattr(config, "integrate_chunk", 1024), V)
-    n_chunks_needed = (volume.num_visible + C - 1) // C
+    n_chunks_needed = (work_count + C - 1) // C
     nb = volume.tsdf.shape[0]
 
     def cond(carry):
@@ -79,9 +96,9 @@ def integrate_sparse(
     def body(carry):
         i, vol = carry
         start = i * C
-        ids = jax.lax.dynamic_slice_in_dim(vol.visible_ids, start, C)
+        ids = jax.lax.dynamic_slice_in_dim(work_ids, start, C)
         row_valid = (
-            (start + jnp.arange(C, dtype=jnp.int32)) < vol.num_visible
+            (start + jnp.arange(C, dtype=jnp.int32)) < work_count
         ) & (ids > 0)
         tsdf, weight, col, cweight = _integrate_batch(
             vol, frame, ids, row_valid, config

@@ -4,21 +4,27 @@ Motivation (PERFORMANCE.md): per-pixel volume sampling costs ~20M random
 gathers per 640x480 frame against a ~120M/s platform rate.  Splatting
 inverts the loop -- iterate over the VOLUME's surface, not over pixels:
 
-  1. **Surfel extraction** (dense, per visible block): a zero crossing of
+  1. **Surface-block compaction**: only blocks holding voxels near the
+     zero crossing can emit surfels; the visible list is filtered to them
+     with one dense row pass + sort (typically a 3-6x cut of the splat
+     work at scene scale -- free space and carved interiors never splat).
+  2. **Surfel extraction** (dense, per surface block): a zero crossing of
      the TSDF along +x/+y/+z between neighboring voxels is a surface point
-     with a sub-voxel offset t = f0/(f0-f1).  Pure slice arithmetic on the
-     render-cache halos -- no random access.
-  2. **Splat**: project every candidate voxel-edge crossing and
+     with a sub-voxel offset t = f0/(f0-f1).  The default path reads block
+     rows + the three +axis neighbor faces STRAIGHT from the volume (3
+     hash lookups per block) -- no render-cache halos are built at all.
+  3. **Splat**: project every candidate voxel-edge crossing and
      scatter-min its camera depth into the z-buffer, masked (no compaction
-     pass at all: masked scatters run ~300M/s here, cheaper than any
-     sort-based surfel selection, and nothing is ever dropped).
-     Back-facing crossings are culled by their axis-aligned normal sign.
-  3. **Hole fill**: surfels are ~1 px apart at range; small holes close
+     pass: masked scatters run ~300M/s here, cheaper than any sort-based
+     surfel selection, and nothing is ever dropped).  Back-facing
+     crossings are culled by their axis-aligned normal sign.
+  4. **Hole fill**: surfels are ~1 px apart at range; small holes close
      with valid-neighbor-min dilation rounds (dense shifts), gated on
      neighborhood depth consistency so silhouettes don't bleed.
-  4. **Polish** (optional): trilinear secant rounds snap the splatted
-     depth onto the exact view-ray zero crossing; depth + normal smoothing
-     remove the residual pixel-quantization noise.
+  5. **Polish / gradient normals / color** (optional): these need
+     trilinear volume sampling, so they run over a RenderCache
+     (ops/render_cache.py); the cache is only built when one of them is
+     requested -- the default depth-tracking pipeline never builds it.
 
 Trade-offs vs the hierarchical march (ops/raycast.py): ~5x fewer random
 accesses; silhouettes can bleed by up to the fill radius into unseen
@@ -36,30 +42,160 @@ from . import blocks as B
 from . import render_cache as RC
 from .raycast import Render, _cross_normals_axes
 
-def render_splat(
+
+def _surface_block_list(volume: B.VolumeState, config: Config):
+    """Compact the visible list to blocks that can emit surfels.
+
+    A block participates in a zero crossing only if it holds an observed
+    voxel with |tsdf| below ~3 voxels of surface distance (the crossing's
+    low side always satisfies this; the threshold is generous so seams
+    between blocks are never missed).  One dense row pass + one sort.
+    """
+    ids = volume.visible_ids
+    V = ids.shape[0]
+    rowv = (jnp.arange(V, dtype=jnp.int32) < volume.num_visible) & (ids > 0)
+    thresh = min(1.0, 3.0 * config.voxel_size / config.trunc_dist)
+    t = volume.tsdf[ids]
+    w = volume.weight[ids]
+    near = (jnp.abs(t) < thresh) & (w > 0.0)
+    has_surf = rowv & jnp.any(near, axis=1)
+    ranked = jnp.sort(jnp.where(has_surf, ids, jnp.int32(0x7FFFFFFF)))
+    n_surf = jnp.sum(has_surf).astype(jnp.int32)
+    slot = jnp.arange(V, dtype=jnp.int32)
+    return jnp.where(slot < n_surf, ranked, 0), n_surf
+
+
+def _splat_zbuf_direct(
     volume: B.VolumeState,
     camera: PinholeCamera,
     pose: SE3,
     height: int,
     width: int,
     config: Config,
-    normals: str = "cross",
-    with_color: bool = True,
-    cache: RC.RenderCache | None = None,
-) -> Render:
-    """Render model maps by surfel splatting (see module docstring)."""
+):
+    """Z-buffer of splatted TSDF edge crossings, read straight from the
+    volume (no halo cache): own rows + three +axis neighbor faces."""
     vs = config.voxel_size
-    if cache is None:
-        cache = RC.build(volume, config)
     w2c = pose.inverse()
+    R = w2c.rotation
+    tr = w2c.translation
+
+    render_ids, n_surf = _surface_block_list(volume, config)
+    V = render_ids.shape[0]
+    C = min(1024, V)
+    n_chunks = (n_surf + C - 1) // C
+
+    # Local voxel coordinates of a (8,8,8) block, broadcast as (1,8,8,8).
+    lx = jax.lax.broadcasted_iota(jnp.float32, (1, 8, 8, 8), 1)
+    ly = jax.lax.broadcasted_iota(jnp.float32, (1, 8, 8, 8), 2)
+    lz = jax.lax.broadcasted_iota(jnp.float32, (1, 8, 8, 8), 3)
+
+    zbuf0 = jnp.full((height * width,), jnp.inf, jnp.float32)
+
+    def body(carry):
+        i, zbuf = carry
+        start = i * C
+        ids = jax.lax.dynamic_slice_in_dim(render_ids, start, C)
+        rv = (
+            (start + jnp.arange(C, dtype=jnp.int32)) < n_surf
+        ) & (ids > 0)
+        t = volume.tsdf[ids].reshape(C, 8, 8, 8)
+        obs = (volume.weight[ids] > 0.0).reshape(C, 8, 8, 8)
+        obs = obs & rv[:, None, None, None]
+        coords = volume.block_coords[ids]                     # (C, 3)
+
+        bx = coords[:, 0, None, None, None].astype(jnp.float32) * 8 + lx
+        by = coords[:, 1, None, None, None].astype(jnp.float32) * 8 + ly
+        bz = coords[:, 2, None, None, None].astype(jnp.float32) * 8 + lz
+
+        pix_all = []
+        z_all = []
+        for axis, off in enumerate(((1, 0, 0), (0, 1, 0), (0, 0, 1))):
+            nb = B.lookup_blocks(
+                volume, coords + jnp.asarray(off, jnp.int32), config
+            )
+            nb = jnp.where(rv, nb, 0)
+            tn = volume.tsdf[nb].reshape(C, 8, 8, 8)
+            on = (volume.weight[nb] > 0.0).reshape(C, 8, 8, 8)
+            if axis == 0:
+                face_t, face_o = tn[:, :1, :, :], on[:, :1, :, :]
+                f1 = jnp.concatenate([t[:, 1:, :, :], face_t], axis=1)
+                o1 = jnp.concatenate([obs[:, 1:, :, :], face_o], axis=1)
+            elif axis == 1:
+                face_t, face_o = tn[:, :, :1, :], on[:, :, :1, :]
+                f1 = jnp.concatenate([t[:, :, 1:, :], face_t], axis=2)
+                o1 = jnp.concatenate([obs[:, :, 1:, :], face_o], axis=2)
+            else:
+                face_t, face_o = tn[:, :, :, :1], on[:, :, :, :1]
+                f1 = jnp.concatenate([t[:, :, :, 1:], face_t], axis=3)
+                o1 = jnp.concatenate([obs[:, :, :, 1:], face_o], axis=3)
+
+            crossing = obs & o1 & ((t > 0.0) != (f1 > 0.0))
+            tt = jnp.clip(
+                t / jnp.where(jnp.abs(t - f1) > 1e-12, t - f1, 1.0),
+                0.0,
+                1.0,
+            )
+            wx = (bx + tt * (axis == 0)) * vs
+            wy = (by + tt * (axis == 1)) * vs
+            wz = (bz + tt * (axis == 2)) * vs
+            cx = R[0, 0] * wx + R[0, 1] * wy + R[0, 2] * wz + tr[0]
+            cy = R[1, 0] * wx + R[1, 1] * wy + R[1, 2] * wz + tr[1]
+            cz = R[2, 0] * wx + R[2, 1] * wy + R[2, 2] * wz + tr[2]
+            # Back-face cull: normal ~ -sign(f0) * e_axis (toward +TSDF);
+            # front-facing iff ray . normal < 0.
+            sgn = jnp.where(t > 0.0, -1.0, 1.0)
+            ndot = sgn * (
+                R[0, axis] * cx + R[1, axis] * cy + R[2, axis] * cz
+            )
+            zok = (
+                crossing
+                & (cz > config.ray_near)
+                & (cz < config.ray_far)
+                & (ndot < 0.0)
+            )
+            zc = jnp.maximum(cz, 1e-6)
+            u = jnp.round(camera.fx * cx / zc + camera.cx).astype(jnp.int32)
+            v = jnp.round(camera.fy * cy / zc + camera.cy).astype(jnp.int32)
+            inb = (u >= 0) & (u < width) & (v >= 0) & (v < height) & zok
+            pix_all.append(jnp.where(inb, v * width + u, height * width))
+            z_all.append(jnp.where(inb, cz, jnp.inf))
+        # One packed scatter for all three axes.
+        pix = jnp.stack(pix_all).reshape(-1)
+        zv = jnp.stack(z_all).reshape(-1)
+        zbuf = zbuf.at[pix].min(zv, mode="drop")
+        return i + 1, zbuf
+
+    def cond(carry):
+        return carry[0] < n_chunks
+
+    _, zbuf = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), zbuf0)
+    )
+    return zbuf
+
+
+def _splat_zbuf_cached(
+    volume: B.VolumeState,
+    cache: RC.RenderCache,
+    camera: PinholeCamera,
+    pose: SE3,
+    height: int,
+    width: int,
+    config: Config,
+):
+    """Z-buffer from the render-cache halos (used when polish / gradient
+    normals / color need the cache anyway)."""
+    vs = config.voxel_size
+    w2c = pose.inverse()
+    R = w2c.rotation
+    tr = w2c.translation
 
     V = volume.visible_ids.shape[0]
     C = min(1024, V)
     n_chunks = (volume.num_visible + C - 1) // C
 
     zbuf0 = jnp.full((height * width,), jnp.inf, jnp.float32)
-    R = w2c.rotation
-    tr = w2c.translation
 
     lidx = jnp.arange(512, dtype=jnp.int32)[None, :]       # (1, 512)
     lx = (lidx // 64).astype(jnp.float32)
@@ -138,6 +274,38 @@ def render_splat(
     _, zbuf = jax.lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), zbuf0)
     )
+    return zbuf
+
+
+def render_splat(
+    volume: B.VolumeState,
+    camera: PinholeCamera,
+    pose: SE3,
+    height: int,
+    width: int,
+    config: Config,
+    normals: str = "cross",
+    with_color: bool = True,
+    cache: RC.RenderCache | None = None,
+) -> Render:
+    """Render model maps by surfel splatting (see module docstring)."""
+    vs = config.voxel_size
+    # The cache is only needed for trilinear work (polish, gradient
+    # normals) or color sampling; the default depth-tracking path skips
+    # it entirely and splats straight from the volume.
+    need_cache = (
+        config.splat_polish > 0 or normals == "gradient" or with_color
+    )
+    if need_cache:
+        if cache is None:
+            cache = RC.build(volume, config)
+        zbuf = _splat_zbuf_cached(
+            volume, cache, camera, pose, height, width, config
+        )
+    else:
+        zbuf = _splat_zbuf_direct(
+            volume, camera, pose, height, width, config
+        )
     depth = zbuf.reshape(height, width)
     has = jnp.isfinite(depth)
 

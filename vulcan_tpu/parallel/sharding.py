@@ -36,7 +36,18 @@ from ..pipeline import fusion
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
-        devices = jax.devices()[: n_devices or len(jax.devices())]
+        devices = jax.devices()
+        if n_devices is not None:
+            if len(devices) < n_devices:
+                raise RuntimeError(
+                    f"make_mesh({n_devices}) found only {len(devices)} "
+                    f"devices on platform "
+                    f"{devices[0].platform if devices else '?'}; for a "
+                    "virtual multi-chip mesh set JAX_PLATFORMS=cpu and "
+                    "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                    "before JAX initializes (see dryrun)."
+                )
+            devices = devices[:n_devices]
     return Mesh(devices, axis_names=("pix",))
 
 

@@ -40,13 +40,27 @@ class Volume:
     def __init__(self, config: Config = Config()):
         self.config = config
         self.state = B.create_volume(config)
+        self.band = None  # (band_ids, n_band) of the last allocated frame
 
-    # -- setters mirrored from the reference API (return new Volume) --
+    # -- setters mirrored from the reference API --
+    def _assert_empty(self, what: str) -> None:
+        # Geometry constants are baked into already-fused TSDF values;
+        # changing them under fused state would silently reinterpret every
+        # voxel (round-1 advisor finding).
+        if int(self.state.free_count) > 1:
+            raise RuntimeError(
+                f"cannot change {what} on a volume with fused data "
+                f"({self.num_allocated} blocks allocated); create a new "
+                "Volume with the desired config instead"
+            )
+
     def set_truncation_length(self, mu: float) -> "Volume":
+        self._assert_empty("truncation length")
         self.config = dataclasses.replace(self.config, trunc_dist=float(mu))
         return self
 
     def set_voxel_size(self, vs: float) -> "Volume":
+        self._assert_empty("voxel size")
         self.config = dataclasses.replace(self.config, voxel_size=float(vs))
         return self
 
@@ -60,11 +74,14 @@ class Volume:
 
     def allocate(self, frame: Frame) -> None:
         """Allocate blocks in the frame's truncation band + update the
-        visible list (reference allocation + visibility passes)."""
+        visible list (reference allocation + visibility passes).  The
+        band list of the last allocated frame is kept on ``self.band``
+        for the Integrator."""
         h, w = frame.depth.shape
-        self.state = _allocate.allocate_for_frame(
+        self.state, band_ids, n_band = _allocate.allocate_for_frame(
             self.state, frame.depth, frame.camera, frame.pose, self.config
         )
+        self.band = (band_ids, n_band)
         self.state = _allocate.update_visibility(
             self.state, frame.camera, frame.pose, h, w, self.config
         )
@@ -270,6 +287,7 @@ class Pipeline:
             "frame": int(s.frame_idx),
             "track_error": float(s.track_error),
             "track_inliers": int(s.track_inliers),
+            "track_failures": int(s.track_failures),
             "allocated_blocks": int(s.volume.free_count) - 1,
             "visible_blocks": int(s.volume.num_visible),
             "alloc_overflow": int(s.volume.alloc_overflow),

@@ -49,6 +49,7 @@ class PipelineState:
     frame_idx: jax.Array       # () int32
     track_error: jax.Array     # () f32, last ICP robust rms
     track_inliers: jax.Array   # () int32
+    track_failures: jax.Array  # () int32, frames skipped by the fusion gate
 
     @property
     def pose(self) -> SE3:
@@ -78,6 +79,7 @@ def init_state(
         frame_idx=jnp.asarray(0, jnp.int32),
         track_error=jnp.asarray(0.0, jnp.float32),
         track_inliers=jnp.asarray(0, jnp.int32),
+        track_failures=jnp.asarray(0, jnp.int32),
     )
     # Deep-copy every leaf: jax caches small constants, so identical zeros
     # would alias one buffer and `donate_argnames` would see the same
@@ -88,13 +90,16 @@ def init_state(
 def _fuse_and_render(
     volume, frame: Frame, filtered_depth, config, h, w, with_color=True
 ):
-    volume = allocate.allocate_for_frame(
+    volume, band_ids, n_band = allocate.allocate_for_frame(
         volume, filtered_depth, frame.camera, frame.pose, config
     )
     volume = allocate.update_visibility(
         volume, frame.camera, frame.pose, h, w, config
     )
-    volume = sparse.integrate_sparse(volume, frame, config)
+    # Integrate the truncation-band blocks only (see integrate_sparse).
+    volume = sparse.integrate_sparse(
+        volume, frame, config, ids=band_ids, count=n_band
+    )
     render = raycast.render(
         volume, frame.camera, frame.pose, h, w, config,
         with_color=with_color,
@@ -135,13 +140,32 @@ def step(
     # --- track against the previous model (no-op when model is empty) ---
     model_pyr = icp.model_pyramid(state.model, config.pyramid_levels)
     result = icp.track(live_pyr, model_pyr, state.pose, config, mode)
-    pose = result.pose
 
-    # --- fuse + render with the tracked pose ---
+    # --- fusion gate (InfiniTAM-style tracking-quality gating) ----------
+    # A diverged or starved track (occlusion, blur, all-invalid depth)
+    # must NOT be fused: a single bad frame permanently corrupts the TSDF.
+    # On failure the previous pose is kept and the frame's depth is masked
+    # to invalid, so allocation finds no candidates and integration fuses
+    # nothing -- the model re-renders from the held pose and the camera
+    # re-localizes against it when tracking returns.  (Masking instead of
+    # lax.cond keeps one traced path: a cond around the fuse branch breaks
+    # donation aliasing and copies the hash table + volume every frame.)
+    # Frame 0 (and any empty model) bypasses the gate: nothing to track.
+    model_empty = ~jnp.any(state.model.valid)
+    trusted = model_empty | (
+        result.valid & (result.error < config.icp_max_error)
+    )
+    pose = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(trusted, a, b), result.pose, state.pose
+    )
+    fused_depth = jnp.where(trusted, depth, 0.0)
+    filtered = jnp.where(trusted, live_pyr[0].depth, 0.0)
+
+    # --- fuse + render with the tracked pose ----------------------------
     # Depth-only tracking never reads model color; skip its render cost.
-    tracked = Frame(depth, color, camera, pose)
+    tracked = Frame(fused_depth, color, camera, pose)
     volume, render = _fuse_and_render(
-        state.volume, tracked, live_pyr[0].depth, config, h, w,
+        state.volume, tracked, filtered, config, h, w,
         with_color=(mode != "depth"),
     )
     return dataclasses.replace(
@@ -151,6 +175,7 @@ def step(
         frame_idx=state.frame_idx + 1,
         track_error=result.error,
         track_inliers=result.inliers,
+        track_failures=state.track_failures + (1 - trusted.astype(jnp.int32)),
     )
 
 

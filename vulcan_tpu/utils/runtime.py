@@ -23,3 +23,41 @@ def setup_cache(cache_dir: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # older/newer jax config names; cache is an optimization only
+
+
+def prefetch_to_device(iterator, lookahead: int = 2):
+    """Yield items from ``iterator`` with their leading arrays already
+    `jax.device_put` -- the async H2D upload of frame i+1..i+lookahead
+    overlaps device compute of frame i, taking the host feed off the
+    per-frame critical path (round-1 VERDICT item 3).
+
+    Items are tuples; array leaves are device_put, non-arrays pass
+    through untouched.
+    """
+    import collections
+
+    import jax
+    import numpy as np
+
+    def put(item):
+        return tuple(
+            jax.device_put(x)
+            if isinstance(x, (np.ndarray, jax.Array))
+            else x
+            for x in item
+        )
+
+    queue = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(lookahead):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out
