@@ -56,7 +56,9 @@ def test_stage_timer():
     with t.stage("a"):
         time.sleep(0.01)
     s = t.summary()
-    assert 5 < s["a"] < 100
+    # Upper bound is deliberately loose: the 1-core CI box can stall a
+    # sleeping process for hundreds of ms under load.
+    assert 5 < s["a"] < 5000
     assert t.last_ms["a"] > 5
 
 

@@ -1,0 +1,66 @@
+"""Time marching-cubes extraction at PRODUCTION capacity on the TPU.
+
+Round-1 VERDICT item 5: extraction used to materialize halos over the full
+block capacity (multiple GB at num_blocks=65536); it is now chunked by the
+allocated count (ops/mcubes.py).  This proves it runs at the default config
+and records the time.
+
+Run:  python tools/bench_mesh.py [n_frames]
+"""
+import sys
+import time
+
+sys.path.insert(0, ".")
+from vulcan_tpu.utils.runtime import setup_cache
+
+setup_cache()
+
+import jax
+import jax.numpy as jnp
+
+from vulcan_tpu.config import Config
+from vulcan_tpu.core.camera import PinholeCamera
+from vulcan_tpu.core.frame import Frame
+from vulcan_tpu.io.synthetic import orbit_poses, render_scene_depth
+from vulcan_tpu.ops import mcubes
+from vulcan_tpu.pipeline import fusion
+
+
+def main():
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    h, w = 480, 640
+    config = Config()  # full production capacity: 65536 blocks
+    camera = PinholeCamera.tum_default()
+    spheres = (
+        ((0.0, 0.0, 0.0), 0.5),
+        ((0.6, 0.3, 0.2), 0.25),
+        ((-0.5, 0.4, -0.1), 0.3),
+    )
+    poses = orbit_poses(n_frames, radius=1.6, height=0.35,
+                        span=n_frames * 0.05)
+    state = fusion.init_state(config, camera, h, w, init_pose=poses[0])
+    for pose in poses:
+        d, c = render_scene_depth(camera, pose, h, w, spheres, -0.6)
+        state = fusion.step_known_pose(
+            state, jnp.asarray(d), jnp.asarray(c), pose, config
+        )
+    jax.block_until_ready(state.model.depth)
+    n_alloc = int(state.volume.free_count) - 1
+    print(f"fused {n_frames} frames, {n_alloc} blocks allocated "
+          f"(capacity {config.num_blocks})")
+
+    extract = jax.jit(mcubes.extract_mesh, static_argnums=(1,))
+    mesh = extract(state.volume, config)
+    jax.block_until_ready(mesh.positions)
+    t0 = time.perf_counter()
+    n = 3
+    for _ in range(n):
+        mesh = extract(state.volume, config)
+        jax.block_until_ready(mesh.positions)
+    ms = (time.perf_counter() - t0) / n * 1e3
+    print(f"extract_mesh @ num_blocks={config.num_blocks}: {ms:9.1f} ms, "
+          f"{int(mesh.count)} triangles, overflow={int(mesh.overflow)}")
+
+
+if __name__ == "__main__":
+    main()

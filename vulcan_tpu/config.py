@@ -55,6 +55,11 @@ class Config:
                                        #   ~2x faster, equal tracking ATE)
                                        # or "march" (hierarchical raycast)
     splat_fill_rounds: int = 2         # hole-fill dilation rounds
+    splat_band: float = 0.3            # |tsdf| gate (mu units) for voxel
+                                       # surfels: wide enough for a
+                                       # continuous shell (>=1.5 voxels),
+                                       # tight enough that z + tsdf*mu
+                                       # stays in the linear TSDF region
     splat_polish: int = 0              # trilinear snap rounds (0 = off:
                                        #   one linear secant over a +-2
                                        #   voxel bracket MOVES depth wrong

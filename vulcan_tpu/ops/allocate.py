@@ -62,18 +62,29 @@ def candidate_block_codes(
     return codes.reshape(-1)
 
 
-def dedup_codes(codes: jax.Array, capacity: int):
-    """Sort-based dedup + compaction to a fixed-size batch.
+def compact_mask(keep: jax.Array, values: jax.Array, capacity: int, fill):
+    """Stream compaction: pack ``values[keep]`` to the front of a
+    fixed-size buffer via cumsum + scatter (no second sort -- one dense
+    prefix sum and one scatter; deterministic, order-preserving)."""
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    tgt = jnp.where(keep & (pos < capacity), pos, capacity)
+    out = jnp.full((capacity,), fill, values.dtype)
+    return out.at[tgt].set(values, mode="drop")
 
-    Returns (unique_codes (capacity,), n_unique, n_dropped).  This replaces
-    the reference's atomic marking of hash entries with two device sorts --
-    deterministic regardless of pixel order.
+
+def dedup_codes(codes: jax.Array, capacity: int):
+    """Sort-based dedup + cumsum compaction to a fixed-size batch.
+
+    Returns (unique_codes (capacity,), n_unique, n_dropped).  This
+    replaces the reference's atomic marking of hash entries with one
+    device sort + a prefix-sum compaction -- deterministic regardless of
+    pixel order.
     """
     s = jnp.sort(codes)
     first = jnp.concatenate(
         [jnp.ones((1,), bool), s[1:] != s[:-1]]
     ) & (s != B.INVALID_CODE)
-    compact = jnp.sort(jnp.where(first, s, B.INVALID_CODE))[:capacity]
+    compact = compact_mask(first, s, capacity, B.INVALID_CODE)
     n_unique = jnp.sum(first).astype(jnp.int32)
     n_dropped = jnp.maximum(n_unique - capacity, 0)
     return compact, n_unique, n_dropped
@@ -168,12 +179,9 @@ def update_visibility(
     )
     nb = visible.shape[0]
     ids = jnp.arange(nb, dtype=jnp.int32)
-    ranked = jnp.sort(jnp.where(visible, ids, jnp.int32(0x7FFFFFFF)))
     n_vis = jnp.sum(visible).astype(jnp.int32)
     cap = config.max_visible
-    taken = ranked[:cap]
-    slot_rank = jnp.arange(cap, dtype=jnp.int32)
-    visible_ids = jnp.where(slot_rank < n_vis, taken, 0)
+    visible_ids = compact_mask(visible, ids, cap, jnp.int32(0))
     overflow = jnp.maximum(n_vis - cap, 0)
     return dataclasses.replace(
         volume,

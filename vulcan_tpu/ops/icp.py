@@ -143,14 +143,29 @@ def associate_depth(
     (warp-once: on TPU the random-access sampling here dominates ICP cost,
     so it runs ``icp_assoc[level]`` times per level, not once per GN
     iteration like the reference's per-pixel kernel).
+
+    Sampling is per-CHANNEL from planar (H, W) views: gathers from
+    (H, W, 3) arrays carry a minor-dim-3 T(4,128) layout and run at about
+    half the flat rate (PERFORMANCE.md cost model); the planar splits are
+    CSE'd once per jit.
     """
     v_w = pose.apply(live.vertices)
     p_m = model.world_to_cam.apply(v_w)
     uv = model.camera.project(p_m)
-    v_m, ok_v = _sample_nearest_masked(
-        model.vertex_world, model.valid, uv
+
+    h, w = model.valid.shape
+    u = jnp.round(uv[..., 0]).astype(jnp.int32)
+    vv = jnp.round(uv[..., 1]).astype(jnp.int32)
+    inb = (u >= 0) & (u < w) & (vv >= 0) & (vv < h)
+    uc = jnp.clip(u, 0, w - 1)
+    vc = jnp.clip(vv, 0, h - 1)
+    v_m = jnp.stack(
+        [model.vertex_world[..., k][vc, uc] for k in range(3)], axis=-1
     )
-    n_m, _ = _sample_nearest_masked(model.normal_world, model.valid, uv)
+    n_m = jnp.stack(
+        [model.normal_world[..., k][vc, uc] for k in range(3)], axis=-1
+    )
+    ok_v = inb & model.valid[vc, uc]
     ok = (live.depth > 0.0) & ok_v & (p_m[..., 2] > 0.0)
     return v_m, n_m, ok
 

@@ -26,7 +26,25 @@ from . import blocks as B
 from .dense import _sample_nearest, voxel_update
 
 
-def _integrate_batch(volume, frame, ids, row_valid, config):
+def _pack_color(color: jax.Array) -> jax.Array:
+    """(H, W, 3) f32 rgb in [0,1] -> (H, W) int32 0xRRGGBB.
+
+    Integration gathers one packed int32 per voxel instead of a
+    minor-dim-3 f32 gather: 3-channel gathers force T(4,128)-layout
+    relayouts and run at roughly a third the flat-1D rate (PERFORMANCE.md
+    cost model)."""
+    c8 = jnp.clip(jnp.round(color * 255.0), 0, 255).astype(jnp.int32)
+    return (c8[..., 0] << 16) | (c8[..., 1] << 8) | c8[..., 2]
+
+
+def _unpack_color(packed: jax.Array) -> jax.Array:
+    r = (packed >> 16) & 0xFF
+    g = (packed >> 8) & 0xFF
+    b = packed & 0xFF
+    return jnp.stack([r, g, b], axis=-1).astype(jnp.float32) * (1.0 / 255.0)
+
+
+def _integrate_batch(volume, frame, packed_color, ids, row_valid, config):
     """Fuse one chunk of blocks; returns updated voxel arrays (C, 512)."""
     bs = config.block_size
     vs = config.voxel_size
@@ -44,7 +62,8 @@ def _integrate_batch(volume, frame, ids, row_valid, config):
     z = cam_pts[..., 2]
     uv = frame.camera.project(cam_pts)
     depth, in_bounds = _sample_nearest(frame.depth, uv)
-    color, _ = _sample_nearest(frame.color, uv)
+    packed, _ = _sample_nearest(packed_color, uv)
+    color = _unpack_color(packed)
     valid = (
         row_valid[:, None]
         & in_bounds
@@ -88,6 +107,7 @@ def integrate_sparse(
     C = min(getattr(config, "integrate_chunk", 1024), V)
     n_chunks_needed = (work_count + C - 1) // C
     nb = volume.tsdf.shape[0]
+    packed_color = _pack_color(frame.color)
 
     def cond(carry):
         i, _ = carry
@@ -101,7 +121,7 @@ def integrate_sparse(
             (start + jnp.arange(C, dtype=jnp.int32)) < work_count
         ) & (ids > 0)
         tsdf, weight, col, cweight = _integrate_batch(
-            vol, frame, ids, row_valid, config
+            vol, frame, packed_color, ids, row_valid, config
         )
         tgt = jnp.where(row_valid, ids, nb)               # drop masked rows
         vol = dataclasses.replace(
