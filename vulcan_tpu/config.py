@@ -28,7 +28,11 @@ class Config:
                                        # (spacing 2mu/3 = 2.7cm << 6.4cm block
                                        #  edge; InfiniTAM strides a full block.
                                        #  Halves the allocation sort size.)
-    alloc_subsample: int = 2           # allocate from every Nth pixel (x and y)
+    alloc_subsample: int = 4           # allocate from every Nth pixel (x and y)
+                                       # (a block projects >= block_extent *
+                                       #  fx / depth_max ~ 6.7 px, so a 4 px
+                                       #  grid cannot miss one; 4x smaller
+                                       #  allocation sort)
     alloc_capacity: int = 8192         # max new+touched unique blocks per frame
     range_scale: int = 16              # coarse min/max range image downscale
     range_stamp: int = 6               # per-block stamp size in coarse cells

@@ -26,25 +26,38 @@ from . import blocks as B
 from .dense import _sample_nearest, voxel_update
 
 
-def _pack_color(color: jax.Array) -> jax.Array:
-    """(H, W, 3) f32 rgb in [0,1] -> (H, W) int32 0xRRGGBB.
+def _pack_depth_color(depth, color, config: Config) -> jax.Array:
+    """(H, W) f32 depth + (H, W, 3) f32 rgb -> (H, W) int32
+    ``depth16 << 16 | rgb565``.
 
-    Integration gathers one packed int32 per voxel instead of a
-    minor-dim-3 f32 gather: 3-channel gathers force T(4,128)-layout
-    relayouts and run at roughly a third the flat-1D rate (PERFORMANCE.md
-    cost model)."""
-    c8 = jnp.clip(jnp.round(color * 255.0), 0, 255).astype(jnp.int32)
-    return (c8[..., 0] << 16) | (c8[..., 1] << 8) | c8[..., 2]
+    Integration then needs ONE random image gather per voxel (the
+    per-element gathers run at ~130M elem/s regardless of dtype --
+    PERFORMANCE.md cost model -- so halving the gather count halves the
+    dominant integrate cost).  Depth is quantized to the sensor's own
+    raw grid (1/depth_raw_scale = 0.2 mm at TUM scale, exactly what a
+    uint16 camera feed provides); color to RGB565 (<=1.6% per channel,
+    averaged further by the running color weight)."""
+    d16 = jnp.clip(
+        jnp.round(depth * config.depth_raw_scale), 0, 65535
+    ).astype(jnp.int32)
+    c = jnp.clip(jnp.round(color * 255.0), 0, 255).astype(jnp.int32)
+    rgb565 = ((c[..., 0] >> 3) << 11) | ((c[..., 1] >> 2) << 5) | (
+        c[..., 2] >> 3
+    )
+    return (d16 << 16) | rgb565
 
 
-def _unpack_color(packed: jax.Array) -> jax.Array:
-    r = (packed >> 16) & 0xFF
-    g = (packed >> 8) & 0xFF
-    b = packed & 0xFF
-    return jnp.stack([r, g, b], axis=-1).astype(jnp.float32) * (1.0 / 255.0)
+def _unpack_depth_color(packed: jax.Array, config: Config):
+    d = ((packed >> 16) & 0xFFFF).astype(jnp.float32) * (
+        1.0 / config.depth_raw_scale
+    )
+    r = ((packed >> 11) & 0x1F).astype(jnp.float32) * (1.0 / 31.0)
+    g = ((packed >> 5) & 0x3F).astype(jnp.float32) * (1.0 / 63.0)
+    b = (packed & 0x1F).astype(jnp.float32) * (1.0 / 31.0)
+    return d, jnp.stack([r, g, b], axis=-1)
 
 
-def _integrate_batch(volume, frame, packed_color, ids, row_valid, config):
+def _integrate_batch(volume, frame, packed_dc, ids, row_valid, config):
     """Fuse one chunk of blocks; returns updated voxel arrays (C, 512)."""
     bs = config.block_size
     vs = config.voxel_size
@@ -61,9 +74,8 @@ def _integrate_batch(volume, frame, packed_color, ids, row_valid, config):
     cam_pts = frame.pose.inverse().apply(world)
     z = cam_pts[..., 2]
     uv = frame.camera.project(cam_pts)
-    depth, in_bounds = _sample_nearest(frame.depth, uv)
-    packed, _ = _sample_nearest(packed_color, uv)
-    color = _unpack_color(packed)
+    packed, in_bounds = _sample_nearest(packed_dc, uv)
+    depth, color = _unpack_depth_color(packed, config)
     valid = (
         row_valid[:, None]
         & in_bounds
@@ -107,7 +119,7 @@ def integrate_sparse(
     C = min(getattr(config, "integrate_chunk", 1024), V)
     n_chunks_needed = (work_count + C - 1) // C
     nb = volume.tsdf.shape[0]
-    packed_color = _pack_color(frame.color)
+    packed_dc = _pack_depth_color(frame.depth, frame.color, config)
 
     def cond(carry):
         i, _ = carry
@@ -121,7 +133,7 @@ def integrate_sparse(
             (start + jnp.arange(C, dtype=jnp.int32)) < work_count
         ) & (ids > 0)
         tsdf, weight, col, cweight = _integrate_batch(
-            vol, frame, packed_color, ids, row_valid, config
+            vol, frame, packed_dc, ids, row_valid, config
         )
         tgt = jnp.where(row_valid, ids, nb)               # drop masked rows
         vol = dataclasses.replace(
