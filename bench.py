@@ -42,6 +42,9 @@ def main():
         ((0.2, -0.5, 0.3), 0.2),
     )
 
+    noisy = "--noise" in sys.argv
+    rng = np.random.default_rng(7)
+
     n_warm, n_bench = 5, 30
     n_total = n_warm + n_bench
     poses = orbit_poses(
@@ -51,6 +54,10 @@ def main():
     frames = []
     for pose in poses:
         depth, color = render_scene_depth(camera, pose, h, w, spheres, -0.6)
+        if noisy:
+            from vulcan_tpu.io.synthetic import add_depth_noise
+
+            depth = add_depth_noise(np.asarray(depth), rng)
         # Raw sensor dtypes (uint16 depth @ TUM scale, uint8 color): what a
         # real camera feed uploads; converted to metric on device.
         d16 = np.clip(
@@ -72,9 +79,12 @@ def main():
     jax.block_until_ready(state.model.depth)
 
     print("benchmarking...", file=sys.stderr)
+    est = []  # device arrays; kept lazy so collection never forces a sync
     t0 = time.perf_counter()
     for d, c in prefetch_to_device(frames[n_warm : n_warm + n_bench]):
         state = fusion.step(state, d, c, config)
+        if noisy:
+            est.append(state.pose.translation)
     jax.block_until_ready(state.model.depth)
     dt = time.perf_counter() - t0
     fps = n_bench / dt
@@ -83,16 +93,24 @@ def main():
     assert int(state.volume.free_count) > 100
     assert int(state.track_inliers) > 1000, int(state.track_inliers)
 
-    print(
-        json.dumps(
-            {
-                "metric": "track+fuse+raycast FPS @ 640x480 (synthetic orbit, full ICP)",
-                "value": round(fps, 2),
-                "unit": "fps",
-                "vs_baseline": round(fps / 30.0, 3),
-            }
+    result = {
+        "metric": "track+fuse+raycast FPS @ 640x480 (synthetic orbit, full ICP)",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 3),
+    }
+    if noisy:
+        from vulcan_tpu.utils.evaluate import ate_rmse
+
+        gt = np.stack(
+            [np.asarray(p.translation) for p in poses[n_warm:]]
         )
-    )
+        result["metric"] += " [Kinect-noise depth]"
+        result["ate_rmse_m"] = round(
+            float(ate_rmse(np.stack([np.asarray(e) for e in est]), gt)), 5
+        )
+        assert int(state.track_failures) == 0, int(state.track_failures)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -35,12 +35,27 @@ from .raycast import Render
 
 @pytree_dataclass
 class ModelMaps:
-    """Model-side maps for one pyramid level (world space)."""
+    """Model-side maps for one pyramid level (world space).
 
-    vertex_world: jax.Array   # (H, W, 3)
-    normal_world: jax.Array   # (H, W, 3)
+    Vertex channels are stored PLANAR ((H, W) each, split once per
+    frame): association gathers run per channel, and slicing a channel
+    out of an (H, W, 3) T(4,128)-layout array costs a ~0.8 ms strided
+    DMA on this TPU -- doing that inside every association round
+    dominated ICP's cost (xplane trace, PERFORMANCE.md).
+
+    The normal + validity are PACKED into one int32 per pixel (8 bits
+    per axis + a valid bit): association is gather-rate-bound, and the
+    pack turns 4 of its 7 per-pixel gathers into 1 (normals only feed
+    the point-to-plane residual and the cos-angle gate, where 1/127
+    quantization is ~0.5 degrees -- far below the gate threshold)."""
+
+    vx: jax.Array             # (H, W) world vertex x
+    vy: jax.Array
+    vz: jax.Array
+    npack: jax.Array          # (H, W) int32: valid<<30 | 3x 10-bit normal
     intensity: jax.Array      # (H, W)
-    valid: jax.Array          # (H, W)
+    valid: jax.Array          # (H, W) bool (photometric path; associate
+                              # reads the packed bit instead)
     camera: PinholeCamera
     world_to_cam: SE3
 
@@ -53,24 +68,61 @@ class TrackResult:
     valid: jax.Array          # () bool: enough inliers to trust the pose
 
 
-def model_pyramid(render: Render, levels: int) -> tuple[ModelMaps, ...]:
-    """Build model map pyramid from a raycast by nearest subsampling."""
+def _pack_normals(nx, ny, nz, valid) -> jax.Array:
+    """Planar unit-normal channels + valid -> one int32 per pixel
+    (10 bits per axis + a valid bit; quantization ~0.06 degrees)."""
+
+    def q(n):
+        return jnp.clip(jnp.round((n + 1.0) * 511.5), 0, 1023).astype(
+            jnp.int32
+        )
+
+    return (
+        (valid.astype(jnp.int32) << 30)
+        | (q(nx) << 20)
+        | (q(ny) << 10)
+        | q(nz)
+    )
+
+
+def _unpack_normals(p: jax.Array):
+    def d(v):
+        return v.astype(jnp.float32) * (1.0 / 511.5) - 1.0
+
+    return (
+        d((p >> 20) & 0x3FF),
+        d((p >> 10) & 0x3FF),
+        d(p & 0x3FF),
+        (p >> 30) > 0,
+    )
+
+
+def model_pyramid(
+    render: Render, levels: int, with_intensity: bool = True
+) -> tuple[ModelMaps, ...]:
+    """Build model map pyramid from a raycast by nearest subsampling.
+
+    The model Render already stores its vertex/normal channels planar
+    ((H, W) each), so no (H, W, 3) channel splits happen anywhere on the
+    hot path; normals+validity pack to one int32 image here, and every
+    coarser level subsamples the planar views.  ``with_intensity=False``
+    (geometric-only tracking) skips the intensity image entirely."""
     from .preprocess import intensity_from_color
 
-    maps = []
-    v, n, c, ok = (
-        render.vertex_world,
-        render.normal_world,
-        intensity_from_color(render.color),
-        render.valid,
-    )
+    chans = [render.vx, render.vy, render.vz]
+    npack = _pack_normals(render.nx, render.ny, render.nz, render.valid)
+    c = intensity_from_color(render.color) if with_intensity else None
+    ok = render.valid
     cam = render.camera
     w2c = render.pose.inverse()
+    maps = []
     for level in range(levels):
         if level > 0:
-            v, n, c, ok = v[::2, ::2], n[::2, ::2], c[::2, ::2], ok[::2, ::2]
+            chans = [x[::2, ::2] for x in chans]
+            npack, ok = npack[::2, ::2], ok[::2, ::2]
+            c = c[::2, ::2] if c is not None else None
             cam = cam.subsampled(2)
-        maps.append(ModelMaps(v, n, c, ok, cam, w2c))
+        maps.append(ModelMaps(*chans, npack, c, ok, cam, w2c))
     return tuple(maps)
 
 
@@ -78,11 +130,11 @@ def model_from_frame_maps(maps: FrameMaps, pose: SE3) -> ModelMaps:
     """Lift camera-space FrameMaps to world-space ModelMaps (used to
     bootstrap tracking before the first raycast, and in tests)."""
     ok = maps.depth > 0.0
+    v = jnp.where(ok[..., None], pose.apply(maps.vertices), 0.0)
+    n = jnp.where(ok[..., None], pose.rotate(maps.normals), 0.0)
     return ModelMaps(
-        vertex_world=jnp.where(
-            ok[..., None], pose.apply(maps.vertices), 0.0
-        ),
-        normal_world=jnp.where(ok[..., None], pose.rotate(maps.normals), 0.0),
+        v[..., 0], v[..., 1], v[..., 2],
+        _pack_normals(n[..., 0], n[..., 1], n[..., 2], ok),
         intensity=maps.intensity,
         valid=ok,
         camera=maps.camera,
@@ -144,10 +196,9 @@ def associate_depth(
     so it runs ``icp_assoc[level]`` times per level, not once per GN
     iteration like the reference's per-pixel kernel).
 
-    Sampling is per-CHANNEL from planar (H, W) views: gathers from
-    (H, W, 3) arrays carry a minor-dim-3 T(4,128) layout and run at about
-    half the flat rate (PERFORMANCE.md cost model); the planar splits are
-    CSE'd once per jit.
+    Sampling is per-CHANNEL from the planar (H, W) model arrays:
+    gathers from (H, W, 3) arrays carry a minor-dim-3 T(4,128) layout
+    and run at about half the flat rate (PERFORMANCE.md cost model).
     """
     v_w = pose.apply(live.vertices)
     p_m = model.world_to_cam.apply(v_w)
@@ -160,12 +211,11 @@ def associate_depth(
     uc = jnp.clip(u, 0, w - 1)
     vc = jnp.clip(vv, 0, h - 1)
     v_m = jnp.stack(
-        [model.vertex_world[..., k][vc, uc] for k in range(3)], axis=-1
+        [model.vx[vc, uc], model.vy[vc, uc], model.vz[vc, uc]], axis=-1
     )
-    n_m = jnp.stack(
-        [model.normal_world[..., k][vc, uc] for k in range(3)], axis=-1
-    )
-    ok_v = inb & model.valid[vc, uc]
+    nx, ny, nz, okn = _unpack_normals(model.npack[vc, uc])
+    n_m = jnp.stack([nx, ny, nz], axis=-1)
+    ok_v = inb & okn
     ok = (live.depth > 0.0) & ok_v & (p_m[..., 2] > 0.0)
     return v_m, n_m, ok
 

@@ -38,15 +38,33 @@ from . import render_cache as RC
 
 @pytree_dataclass
 class Render:
-    """Raycast output ("model frame" consumed by the tracker)."""
+    """Raycast output ("model frame" consumed by the tracker).
+
+    Vertex/normal channels are stored PLANAR ((H, W) each): both
+    renderers compute them planar, the tracker consumes them planar,
+    and stacking into (H, W, 3) costs ~1 ms of strided T(4,128)-layout
+    DMA per array per frame on this TPU (xplane trace).  The stacked
+    views remain available as properties for API/offline consumers."""
 
     depth: jax.Array          # (H, W) z-depth, 0 invalid
-    vertex_world: jax.Array   # (H, W, 3)
-    normal_world: jax.Array   # (H, W, 3) unit, 0 invalid
+    vx: jax.Array             # (H, W) world vertex channels
+    vy: jax.Array
+    vz: jax.Array
+    nx: jax.Array             # (H, W) world unit normal channels, 0 invalid
+    ny: jax.Array
+    nz: jax.Array
     color: jax.Array          # (H, W, 3)
     valid: jax.Array          # (H, W) bool
     camera: PinholeCamera
     pose: SE3                 # camera-to-world used for the cast
+
+    @property
+    def vertex_world(self) -> jax.Array:  # (H, W, 3)
+        return jnp.stack([self.vx, self.vy, self.vz], axis=-1)
+
+    @property
+    def normal_world(self) -> jax.Array:  # (H, W, 3)
+        return jnp.stack([self.nx, self.ny, self.nz], axis=-1)
 
 
 def compute_range_image(
@@ -499,12 +517,15 @@ def raycast(
 
     valid = hit & n_ok
     m = valid[..., None]
-    p_surf = jnp.stack([px, py, pz], axis=-1)
-    normal = jnp.stack([nx, ny, nz], axis=-1)
+    z = jnp.zeros(())
     return Render(
         depth=jnp.where(valid, t_surf, 0.0),
-        vertex_world=jnp.where(m, p_surf, 0.0),
-        normal_world=jnp.where(m, normal, 0.0),
+        vx=jnp.where(valid, px, z),
+        vy=jnp.where(valid, py, z),
+        vz=jnp.where(valid, pz, z),
+        nx=jnp.where(valid, nx, z),
+        ny=jnp.where(valid, ny, z),
+        nz=jnp.where(valid, nz, z),
         color=jnp.where(m, color, 0.0),
         valid=valid,
         camera=camera,

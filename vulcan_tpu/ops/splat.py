@@ -43,21 +43,34 @@ from . import render_cache as RC
 from .raycast import Render, _cross_normals_axes
 
 
+def _splat_band(config: Config) -> float:
+    """|tsdf| gate (mu units) for voxel surfels: wide enough for a
+    continuous >=1.5-voxel shell, tight enough to stay linear."""
+    return min(
+        1.0,
+        max(config.splat_band, 1.5 * config.voxel_size / config.trunc_dist),
+    )
+
+
 def _surface_block_list(volume: B.VolumeState, config: Config):
     """Compact the visible list to blocks that can emit surfels.
 
-    A block participates in a zero crossing only if it holds an observed
-    voxel with |tsdf| below ~3 voxels of surface distance (the crossing's
-    low side always satisfies this; the threshold is generous so seams
-    between blocks are never missed).  One dense row pass + one sort.
+    A block participates only if it holds an observed voxel inside the
+    splat band.  One dense row pass + one prefix-sum compaction.
+
+    (A finer-grained 64-voxel slab list was tried and REVERTED: the
+    (NB,512)->(NB*8,64) view forced XLA to materialize full-volume
+    relayout copies in the splat loop carry, costing more than the
+    ~30% scatter-lane cut saved -- the bench scene's floor has y/z
+    normals, so its shell crosses every x-slab anyway.)
     """
     ids = volume.visible_ids
     V = ids.shape[0]
     rowv = (jnp.arange(V, dtype=jnp.int32) < volume.num_visible) & (ids > 0)
-    thresh = min(1.0, 3.0 * config.voxel_size / config.trunc_dist)
+    band = _splat_band(config)
     t = volume.tsdf[ids]
     w = volume.weight[ids]
-    near = (jnp.abs(t) < thresh) & (w > 0.0)
+    near = (jnp.abs(t) < band) & (w > 0.0)
     has_surf = rowv & jnp.any(near, axis=1)
     from .allocate import compact_mask
 
@@ -104,7 +117,7 @@ def _splat_zbuf_direct(
     ly = ((lidx // 8) % 8).astype(jnp.float32)
     lz = (lidx % 8).astype(jnp.float32)
 
-    band = min(1.0, max(config.splat_band, 1.5 * vs / mu))
+    band = _splat_band(config)
     zbuf0 = jnp.full((height * width,), jnp.inf, jnp.float32)
 
     def body(carry):
@@ -452,12 +465,15 @@ def render_splat(
 
     valid = hit & n_ok
     m = valid[..., None]
+    z = jnp.zeros(())
     return Render(
         depth=jnp.where(valid, t_surf, 0.0),
-        vertex_world=jnp.where(
-            m, jnp.stack([px, py, pz], axis=-1), 0.0
-        ),
-        normal_world=jnp.where(m, jnp.stack([nx, ny, nz], axis=-1), 0.0),
+        vx=jnp.where(valid, px, z),
+        vy=jnp.where(valid, py, z),
+        vz=jnp.where(valid, pz, z),
+        nx=jnp.where(valid, nx, z),
+        ny=jnp.where(valid, ny, z),
+        nz=jnp.where(valid, nz, z),
         color=jnp.where(m, color, 0.0),
         valid=valid,
         camera=camera,

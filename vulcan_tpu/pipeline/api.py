@@ -206,7 +206,10 @@ class Tracker:
     ) -> _icp.TrackResult:
         init = init_pose if init_pose is not None else model.pose
         live_pyr = build_pyramid(live_frame, self.config)
-        model_pyr = _icp.model_pyramid(model, self.config.pyramid_levels)
+        model_pyr = _icp.model_pyramid(
+            model, self.config.pyramid_levels,
+            with_intensity=(self.mode != "depth"),
+        )
         return _icp.track(live_pyr, model_pyr, init, self.config, self.mode)
 
 

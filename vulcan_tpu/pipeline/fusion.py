@@ -64,10 +64,10 @@ def init_state(
     init_pose: SE3 | None = None,
 ) -> PipelineState:
     pose = init_pose if init_pose is not None else SE3.identity()
+    zc = jnp.zeros((height, width))
     empty = raycast.Render(
-        depth=jnp.zeros((height, width)),
-        vertex_world=jnp.zeros((height, width, 3)),
-        normal_world=jnp.zeros((height, width, 3)),
+        depth=zc,
+        vx=zc, vy=zc, vz=zc, nx=zc, ny=zc, nz=zc,
         color=jnp.zeros((height, width, 3)),
         valid=jnp.zeros((height, width), bool),
         camera=camera,
@@ -138,7 +138,10 @@ def step(
     live_pyr = build_pyramid(frame, config)
 
     # --- track against the previous model (no-op when model is empty) ---
-    model_pyr = icp.model_pyramid(state.model, config.pyramid_levels)
+    model_pyr = icp.model_pyramid(
+        state.model, config.pyramid_levels,
+        with_intensity=(mode != "depth"),
+    )
     result = icp.track(live_pyr, model_pyr, state.pose, config, mode)
 
     # --- fusion gate (InfiniTAM-style tracking-quality gating) ----------
