@@ -127,3 +127,41 @@ def test_cli_tum_dataset_known_poses(tmp_path, capsys):
     assert report["frames"] == 4
     assert report["allocated_blocks"] > 20
     assert report["ate_rmse_m"] < 1e-4  # known poses: est == gt
+
+
+def test_cli_traj_out_and_mesh_subcommand(tmp_path, capsys):
+    """--traj-out writes a TUM-format trajectory; the `mesh` subcommand
+    re-extracts a PLY from the snapshot offline."""
+    snap = tmp_path / "s.npz"
+    traj = tmp_path / "traj.txt"
+    rc, report = _run_cli(
+        ARGS_COMMON
+        + [
+            "--synthetic", "4",
+            "--snapshot-out", str(snap),
+            "--traj-out", str(traj),
+        ],
+        capsys,
+    )
+    assert rc == 0 and report["trajectory"] == str(traj)
+    lines = [
+        ln for ln in traj.read_text().splitlines() if not ln.startswith("#")
+    ]
+    assert len(lines) == 4
+    row = np.array([float(x) for x in lines[-1].split()])
+    assert row.shape == (8,)
+    assert abs(np.linalg.norm(row[4:8]) - 1.0) < 1e-6  # unit quaternion
+
+    mesh = tmp_path / "m2.ply"
+    rc = main(["mesh", str(snap), "--out", str(mesh)] + ARGS_COMMON[:2] +
+              ["--voxel-size", "0.02"])
+    out = capsys.readouterr().out.strip().splitlines()
+    report = json.loads(out[-1])
+    assert rc == 0
+    assert report["mesh_triangles"] > 500
+    assert mesh.read_bytes()[:3] == b"ply"
+
+
+def test_cli_mesh_subcommand_bad_snapshot(tmp_path, capsys):
+    assert main(["mesh", str(tmp_path / "no.npz"), "--out",
+                 str(tmp_path / "m.ply")]) == 1

@@ -90,3 +90,21 @@ def test_volume_validate_healthy():
     assert len(ids) == vol.num_visible
     assert coords.shape == (len(ids), 3)
     assert np.all(ids >= 1)
+
+
+def test_rotmat_quat_roundtrip():
+    from vulcan_tpu.io.tum import quat_to_rotmat
+    from vulcan_tpu.utils.evaluate import rotmat_to_quat
+
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        th = rng.uniform(-np.pi + 1e-3, np.pi - 1e-3)
+        K = np.array([[0, -axis[2], axis[1]],
+                      [axis[2], 0, -axis[0]],
+                      [-axis[1], axis[0], 0]])
+        R = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
+        q = rotmat_to_quat(R)
+        R2 = quat_to_rotmat(q)
+        assert np.allclose(R, R2, atol=1e-9), (R, R2)

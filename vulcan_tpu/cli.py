@@ -53,6 +53,19 @@ def build_parser():
     r.add_argument("--profile", action="store_true",
                    help="per-stage timing via blocked sub-steps")
     r.add_argument("--trace-dir", help="write a jax.profiler trace here")
+    r.add_argument("--traj-out",
+                   help="write the estimated trajectory here "
+                        "(TUM format: ts tx ty tz qx qy qz qw)")
+
+    m = sub.add_parser(
+        "mesh", help="extract a mesh from a saved volume snapshot"
+    )
+    m.add_argument("snapshot", help="volume .npz written by --snapshot-out")
+    m.add_argument("--out", required=True, help="output PLY path")
+    m.add_argument("--preset", default="default",
+                   choices=["default", "tiny"])
+    m.add_argument("--voxel-size", type=float, default=None)
+    m.add_argument("--trunc", type=float, default=None)
     return p
 
 
@@ -146,6 +159,7 @@ def cmd_run(args):
 
     timer = StageTimer()
     est_traj, gt_traj = [], []
+    traj_rows = []  # (ts, R, t) when --traj-out
     n_done = 0
     t_loop = None
     trace_ctx = None
@@ -173,6 +187,11 @@ def cmd_run(args):
         if gt_pose is not None:
             est_traj.append(np.asarray(pipe.pose.translation))
             gt_traj.append(np.asarray(gt_pose.translation))
+        if args.traj_out:
+            traj_rows.append(
+                (float(i), np.asarray(pipe.pose.rotation),
+                 np.asarray(pipe.pose.translation))
+            )
         if args.verbose and i % args.log_every == 0:
             d = pipe.diagnostics()
             d["stage_ms"] = timer.last_ms
@@ -203,9 +222,43 @@ def cmd_run(args):
         vol.state = pipe.state.volume
         vol.save(args.snapshot_out)
         report["snapshot"] = args.snapshot_out
+    if args.traj_out:
+        from .utils.evaluate import write_tum_trajectory
+
+        write_tum_trajectory(
+            args.traj_out,
+            [r[0] for r in traj_rows],
+            [r[1] for r in traj_rows],
+            [r[2] for r in traj_rows],
+        )
+        report["trajectory"] = args.traj_out
     if args.profile:
         report["stage_ms"] = timer.summary()
     print(json.dumps(report))
+    return 0
+
+
+def cmd_mesh(args):
+    from .utils.runtime import setup_cache
+
+    setup_cache()
+
+    from .pipeline.api import Extractor, Volume
+
+    config = _make_config(args)
+    vol = Volume(config)
+    try:
+        vol.load(args.snapshot)
+    except (FileNotFoundError, ValueError) as e:
+        print(f"error: cannot load snapshot: {e}", file=sys.stderr)
+        return 1
+    n = Extractor(vol).export_ply(args.out)
+    print(json.dumps({
+        "snapshot": args.snapshot,
+        "allocated_blocks": vol.num_allocated,
+        "mesh_triangles": n,
+        "mesh": args.out,
+    }))
     return 0
 
 
@@ -213,6 +266,8 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.cmd == "run":
         return cmd_run(args)
+    if args.cmd == "mesh":
+        return cmd_mesh(args)
     return 2
 
 

@@ -97,6 +97,12 @@ class Config:
     rgb_weight: float = 0.1            # photometric term weight ("combined")
     rgb_huber_delta: float = 0.1       # Huber width for intensity residuals
 
+    # --- profiling ---
+    ablate: str = ""                   # comma-separated stages to skip in
+                                       # fusion.step for perf bisection:
+                                       # track,alloc,vis,integrate,render
+                                       # (static: zero cost when empty)
+
     # --- mesh extraction ---
     max_mesh_triangles: int = 2_000_000
     mesh_chunk: int = 1024             # blocks meshed per loop round (bounds

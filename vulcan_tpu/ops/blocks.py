@@ -50,8 +50,13 @@ class VolumeState:
     block_coords: jax.Array   # (num_blocks, 3) int32 coord of each block
     tsdf: jax.Array           # (num_blocks, 512) float32 in [-1, 1]
     weight: jax.Array         # (num_blocks, 512) float32
-    color: jax.Array          # (num_blocks, 512, 3) float32
-    color_weight: jax.Array   # (num_blocks, 512) float32
+    colorpack: jax.Array      # (num_blocks, 512) int32 w8|r8|g8|b8: 8-bit
+                              # rgb (InfiniTAM stores u8 color too) + 8-bit
+                              # integer color weight.  One flat array
+                              # instead of (nb,512,3)+(nb,512) f32: voxel
+                              # color costs ONE gather/DMA lane, avoids
+                              # the minor-dim-3 T(4,128) layout, and is
+                              # 4x smaller (128 MB vs 512 MB at capacity)
     # per-frame visible set (compacted; entries beyond num_visible are 0)
     visible_ids: jax.Array    # (max_visible,) int32 block indices
     num_visible: jax.Array    # () int32
@@ -70,8 +75,7 @@ def create_volume(config: Config, dtype=jnp.float32) -> VolumeState:
         block_coords=jnp.zeros((nb, 3), jnp.int32),
         tsdf=jnp.ones((nb, bv), dtype),
         weight=jnp.zeros((nb, bv), dtype),
-        color=jnp.zeros((nb, bv, 3), dtype),
-        color_weight=jnp.zeros((nb, bv), dtype),
+        colorpack=jnp.zeros((nb, bv), jnp.int32),
         visible_ids=jnp.zeros((config.max_visible,), jnp.int32),
         num_visible=jnp.asarray(0, jnp.int32),
         alloc_overflow=jnp.asarray(0, jnp.int32),
@@ -183,6 +187,22 @@ def sample_tsdf_trilinear(
     return val, ok
 
 
+def pack_voxel_color(rgb: jax.Array, cweight: jax.Array) -> jax.Array:
+    """(..., 3) f32 rgb in [0,1] + (...,) f32 weight -> (...) int32."""
+    c = jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.int32)
+    w = jnp.clip(jnp.round(cweight), 0, 255).astype(jnp.int32)
+    return (w << 24) | (c[..., 0] << 16) | (c[..., 1] << 8) | c[..., 2]
+
+
+def unpack_voxel_color(packed: jax.Array):
+    """(...) int32 -> ((..., 3) f32 rgb, (...) f32 color weight)."""
+    r = ((packed >> 16) & 0xFF).astype(jnp.float32)
+    g = ((packed >> 8) & 0xFF).astype(jnp.float32)
+    b = (packed & 0xFF).astype(jnp.float32)
+    cw = ((packed >> 24) & 0xFF).astype(jnp.float32)
+    return jnp.stack([r, g, b], axis=-1) * (1.0 / 255.0), cw
+
+
 def sample_color_trilinear(
     volume: VolumeState, p_world: jax.Array, config: Config
 ):
@@ -195,8 +215,8 @@ def sample_color_trilinear(
     q0 = jnp.floor(q)
     frac = q - q0
     q0 = q0.astype(jnp.int32)
-    rgb = jnp.zeros(q.shape[:-1] + (3,), volume.color.dtype)
-    wsum = jnp.zeros(q.shape[:-1], volume.color.dtype)
+    rgb = jnp.zeros(q.shape[:-1] + (3,), jnp.float32)
+    wsum = jnp.zeros(q.shape[:-1], jnp.float32)
     for dx in (0, 1):
         wx = frac[..., 0] if dx else 1.0 - frac[..., 0]
         for dy in (0, 1):
@@ -207,9 +227,9 @@ def sample_color_trilinear(
                 block, local = voxel_block_local(g, config)
                 b = lookup_blocks(volume, block, config)
                 li = local_flat(local, config)
-                cw = volume.color_weight[b, li]
+                c, cw = unpack_voxel_color(volume.colorpack[b, li])
                 w = (wx * wy * wz) * jnp.where(cw > 0.0, 1.0, 0.0)
-                rgb = rgb + w[..., None] * volume.color[b, li]
+                rgb = rgb + w[..., None] * c
                 wsum = wsum + w
     ok = wsum > 1e-6
     rgb = rgb / jnp.maximum(wsum, 1e-6)[..., None]

@@ -91,10 +91,12 @@ def _chunk_halos(volume: B.VolumeState, start, CB: int, config: Config):
         ext = ext.at[:, 8, 8, 8].set(rows((1, 1, 1))[:, 0, 0, 0])
         return ext
 
+    # Halos are gathered in the packed int32 color form (one lane per
+    # voxel instead of 3) and unpacked once at the end.
     return (
         extend(volume.tsdf),
         extend(volume.weight),
-        extend(volume.color),
+        B.unpack_voxel_color(extend(volume.colorpack))[0],
         coords,
         row_valid,
     )

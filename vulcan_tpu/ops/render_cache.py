@@ -258,8 +258,7 @@ def sample_color_nearest_axes(
     cache: RenderCache, volume: B.VolumeState, px, py, pz, config: Config
 ):
     """Nearest-voxel color from the volume via the row->block map: 1 grid
-    gather + 1 row_block gather + 3 color gathers (one per channel to keep
-    planar layout)."""
+    gather + 1 row_block gather + 1 packed-color gather."""
     inv_vs = 1.0 / config.voxel_size
     gx = jnp.round(px * inv_vs).astype(jnp.int32)
     gy = jnp.round(py * inv_vs).astype(jnp.int32)
@@ -267,8 +266,7 @@ def sample_color_nearest_axes(
     row, lx, ly, lz = _row_and_local(cache, gx, gy, gz, config)
     b = cache.row_block[row]
     li = (lx * 8 + ly) * 8 + lz
-    rgb = volume.color[b, li]                       # (..., 3)
-    cw = volume.color_weight[b, li]
+    rgb, cw = B.unpack_voxel_color(volume.colorpack[b, li])
     ok = (row > 0) & (cw > 0.0)
     return jnp.where(ok[..., None], rgb, 0.0), ok
 

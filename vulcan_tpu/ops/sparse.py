@@ -87,11 +87,11 @@ def _integrate_batch(volume, frame, packed_dc, ids, row_valid, config):
 
     tsdf = volume.tsdf[ids]
     weight = volume.weight[ids]
-    col = volume.color[ids]
-    cweight = volume.color_weight[ids]
-    return voxel_update(
+    col, cweight = B.unpack_voxel_color(volume.colorpack[ids])
+    tsdf, weight, col, cweight = voxel_update(
         tsdf, weight, col, cweight, sdf, color, valid, config
     )
+    return tsdf, weight, B.pack_voxel_color(col, cweight)
 
 
 def integrate_sparse(
@@ -132,7 +132,7 @@ def integrate_sparse(
         row_valid = (
             (start + jnp.arange(C, dtype=jnp.int32)) < work_count
         ) & (ids > 0)
-        tsdf, weight, col, cweight = _integrate_batch(
+        tsdf, weight, cpack = _integrate_batch(
             vol, frame, packed_dc, ids, row_valid, config
         )
         tgt = jnp.where(row_valid, ids, nb)               # drop masked rows
@@ -140,8 +140,7 @@ def integrate_sparse(
             vol,
             tsdf=vol.tsdf.at[tgt].set(tsdf, mode="drop"),
             weight=vol.weight.at[tgt].set(weight, mode="drop"),
-            color=vol.color.at[tgt].set(col, mode="drop"),
-            color_weight=vol.color_weight.at[tgt].set(cweight, mode="drop"),
+            colorpack=vol.colorpack.at[tgt].set(cpack, mode="drop"),
         )
         return i + 1, vol
 

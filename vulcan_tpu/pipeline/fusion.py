@@ -90,20 +90,29 @@ def init_state(
 def _fuse_and_render(
     volume, frame: Frame, filtered_depth, config, h, w, with_color=True
 ):
-    volume, band_ids, n_band = allocate.allocate_for_frame(
-        volume, filtered_depth, frame.camera, frame.pose, config
-    )
-    volume = allocate.update_visibility(
-        volume, frame.camera, frame.pose, h, w, config
-    )
+    skip = set(config.ablate.split(",")) if config.ablate else set()
+    band_ids = None
+    n_band = jnp.asarray(0, jnp.int32)
+    if "alloc" not in skip:
+        volume, band_ids, n_band = allocate.allocate_for_frame(
+            volume, filtered_depth, frame.camera, frame.pose, config
+        )
+    if "vis" not in skip:
+        volume = allocate.update_visibility(
+            volume, frame.camera, frame.pose, h, w, config
+        )
     # Integrate the truncation-band blocks only (see integrate_sparse).
-    volume = sparse.integrate_sparse(
-        volume, frame, config, ids=band_ids, count=n_band
-    )
-    render = raycast.render(
-        volume, frame.camera, frame.pose, h, w, config,
-        with_color=with_color,
-    )
+    if "integrate" not in skip and "alloc" not in skip:
+        volume = sparse.integrate_sparse(
+            volume, frame, config, ids=band_ids, count=n_band
+        )
+    if "render" not in skip:
+        render = raycast.render(
+            volume, frame.camera, frame.pose, h, w, config,
+            with_color=with_color,
+        )
+    else:
+        render = None
     return volume, render
 
 
@@ -138,11 +147,19 @@ def step(
     live_pyr = build_pyramid(frame, config)
 
     # --- track against the previous model (no-op when model is empty) ---
-    model_pyr = icp.model_pyramid(
-        state.model, config.pyramid_levels,
-        with_intensity=(mode != "depth"),
-    )
-    result = icp.track(live_pyr, model_pyr, state.pose, config, mode)
+    if "track" in (config.ablate or "").split(","):
+        result = icp.TrackResult(
+            pose=state.pose,
+            error=jnp.zeros(()),
+            inliers=jnp.asarray(10**6, jnp.int32),
+            valid=jnp.asarray(True),
+        )
+    else:
+        model_pyr = icp.model_pyramid(
+            state.model, config.pyramid_levels,
+            with_intensity=(mode != "depth"),
+        )
+        result = icp.track(live_pyr, model_pyr, state.pose, config, mode)
 
     # --- fusion gate (InfiniTAM-style tracking-quality gating) ----------
     # A diverged or starved track (occlusion, blur, all-invalid depth)
@@ -174,7 +191,7 @@ def step(
     return dataclasses.replace(
         state,
         volume=volume,
-        model=render,
+        model=render if render is not None else state.model,
         frame_idx=state.frame_idx + 1,
         track_error=result.error,
         track_inliers=result.inliers,
