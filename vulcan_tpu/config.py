@@ -79,14 +79,19 @@ class Config:
     # --- ICP tracking (coarse-to-fine; level 0 = full res) ---
     pyramid_levels: int = 3
     icp_iters: tuple[int, ...] = (3, 5, 10)     # per level, fine -> coarse
-    icp_assoc: tuple[int, ...] = (2, 3, 5)      # association (gather) rounds
+    icp_assoc: tuple[int, ...] = (2, 2, 5)      # association (gather) rounds
                                        # per level; GN re-linearizes densely
                                        # between gathers (warp-once: the
                                        # association gathers dominate ICP
                                        # cost on TPU, ~120M random elem/s)
-    icp_stride: int = 2                # live-pixel stride at the finest level
-                                       # (4x fewer association gathers; the
-                                       #  model side stays full-res)
+    icp_stride: tuple[int, ...] = (2, 1, 1)
+                                       # live-pixel stride per level (fine ->
+                                       # coarse): 4x fewer association
+                                       # gathers where >1; the model side
+                                       # stays full-res.  Striding level 1
+                                       # was tried and REVERTED: it hard-
+                                       # diverges the 12 deg/frame large-
+                                       # motion canary (five-class test)
     icp_dist_thresh: float = 0.1       # association gates (meters / cos angle)
     icp_normal_thresh: float = 0.8
     icp_damping: float = 1e-4          # relative Levenberg damping on the 6x6
@@ -114,6 +119,8 @@ class Config:
         assert self.hash_size & (self.hash_size - 1) == 0, "hash_size must be a power of 2"
         assert len(self.icp_iters) == self.pyramid_levels
         assert len(self.icp_assoc) == self.pyramid_levels
+        if not isinstance(self.icp_stride, int):
+            assert len(self.icp_stride) == self.pyramid_levels
         # The chunked visible-block loops (sparse.integrate_sparse,
         # render_cache.build, splat.render_splat) slice at start=i*chunk
         # with chunk=min(pow2, max_visible); if the chunk did not divide

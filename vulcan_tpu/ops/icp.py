@@ -366,11 +366,14 @@ def track(
         live = live_pyramid[level]
         model = model_pyr[level]
         iters = config.icp_iters[level]
-        if level == 0 and config.icp_stride > 1:
-            # Subsample the live side at the finest level: association
-            # gathers dominate ICP's cost on TPU; point-to-plane accuracy
-            # is retained by the still-dense coarse levels + model side.
-            st = config.icp_stride
+        strides = config.icp_stride
+        if isinstance(strides, int):  # scalar legacy form: finest only
+            strides = (strides,) + (1,) * (config.pyramid_levels - 1)
+        if strides[level] > 1:
+            # Subsample the live side: association gathers dominate ICP's
+            # cost on TPU; point-to-plane accuracy is retained by the
+            # full-res model side and the statistics of ~19k pairs.
+            st = strides[level]
             live = FrameMaps(
                 depth=live.depth[::st, ::st],
                 vertices=live.vertices[::st, ::st],

@@ -35,12 +35,24 @@ def _shift2d(img: jax.Array, dy: int, dx: int, fill=0.0) -> jax.Array:
     )
 
 
-def bilateral_filter(depth: jax.Array, config: Config) -> jax.Array:
-    """Edge-preserving depth denoise (reference component #8).
+def _shift_concat(d: jax.Array, dy: int, dx: int, fill=0.0) -> jax.Array:
+    """Static shift via concatenate (Pallas-safe: the TPU kernel lowering
+    rejects pad+dynamic-slice): out[y, x] = d[y+dy, x+dx], fill OOB."""
+    h, w = d.shape
+    if dy > 0:
+        d = jnp.concatenate([d[dy:], jnp.full((dy, w), fill, d.dtype)], 0)
+    elif dy < 0:
+        d = jnp.concatenate([jnp.full((-dy, w), fill, d.dtype), d[:dy]], 0)
+    if dx > 0:
+        d = jnp.concatenate([d[:, dx:], jnp.full((h, dx), fill, d.dtype)], 1)
+    elif dx < 0:
+        d = jnp.concatenate([jnp.full((h, -dx), fill, d.dtype), d[:, :dx]], 1)
+    return d
 
-    Gaussian in pixel space x Gaussian in depth difference; invalid (0)
-    neighbors are excluded; invalid centers stay invalid.
-    """
+
+def _bilateral_math(depth: jax.Array, config: Config) -> jax.Array:
+    """Bilateral window as pure shifted adds (shared by the XLA path and
+    the Pallas kernel body)."""
     r = config.bilateral_radius
     inv_2ss = 1.0 / (2.0 * config.bilateral_sigma_space**2)
     inv_2sd = 1.0 / (2.0 * config.bilateral_sigma_depth**2)
@@ -50,7 +62,7 @@ def bilateral_filter(depth: jax.Array, config: Config) -> jax.Array:
     wacc = jnp.zeros_like(depth)
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
-            d = _shift2d(depth, dy, dx)
+            d = _shift_concat(depth, dy, dx)
             w_space = math.exp(-(dy * dy + dx * dx) * inv_2ss)
             diff = d - depth
             w = w_space * jnp.exp(-(diff * diff) * inv_2sd)
@@ -59,6 +71,34 @@ def bilateral_filter(depth: jax.Array, config: Config) -> jax.Array:
             wacc = wacc + w
     out = jnp.where(wacc > 0.0, acc / jnp.maximum(wacc, 1e-12), 0.0)
     return jnp.where(valid_center, out, 0.0)
+
+
+def bilateral_filter(depth: jax.Array, config: Config) -> jax.Array:
+    """Edge-preserving depth denoise (reference component #8).
+
+    Gaussian in pixel space x Gaussian in depth difference; invalid (0)
+    neighbors are excluded; invalid centers stay invalid.  On TPU the
+    (2r+1)^2-tap window runs as one VMEM-resident Pallas stencil kernel
+    (the XLA lowering round-trips shift fusions through HBM -- same
+    pattern as the splat hole-fill kernel, tools/bench_pallas_stencil);
+    CPU and oversize images fall back to plain XLA.
+    """
+    h, w = depth.shape
+    if jax.default_backend() == "cpu" or h * w * 4 > 8 * 1024 * 1024:
+        return _bilateral_math(depth, config)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(d_ref, out_ref):
+        out_ref[:] = _bilateral_math(d_ref[:], config)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((h, w), depth.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(depth)
 
 
 def compute_vertex_map(depth: jax.Array, camera: PinholeCamera) -> jax.Array:

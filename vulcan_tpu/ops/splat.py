@@ -151,6 +151,11 @@ def _splat_zbuf_direct(
         v = jnp.round(camera.fy * cy / zc + camera.cy).astype(jnp.int32)
         inb = (u >= 0) & (u < width) & (v >= 0) & (v < height) & zok
         pix = jnp.where(inb, v * width + u, height * width)
+        # One masked scatter-min per chunk.  (Pre-compacting the ~15% live
+        # surfels with a cumsum pack before the scatter was tried and
+        # REVERTED: in situ it ran ~2 ms/frame SLOWER than the straight
+        # masked scatter, despite microbenchmarks showing monotonic
+        # packing scatters as nearly free.)
         zbuf = zbuf.at[pix.reshape(-1)].min(
             jnp.where(inb, z_surf, jnp.inf).reshape(-1), mode="drop"
         )
