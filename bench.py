@@ -25,6 +25,7 @@ def main():
     setup_cache()
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from vulcan_tpu.config import Config
@@ -89,7 +90,9 @@ def main():
     for d, c in prefetch_to_device(frames[n_warm : n_warm + n_bench]):
         state = fusion.step(state, d, c, config)
         if noisy:
-            est.append(state.pose.translation)
+            # Explicit device copy: the raw buffer is donated (and thus
+            # deleted) by the next step.
+            est.append(jnp.array(state.pose.translation))
     jax.block_until_ready(state.model.depth)
     dt = time.perf_counter() - t0
     fps = n_bench / dt

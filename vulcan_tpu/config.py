@@ -77,9 +77,17 @@ class Config:
     bilateral_sigma_depth: float = 0.05
 
     # --- ICP tracking (coarse-to-fine; level 0 = full res) ---
-    pyramid_levels: int = 3
-    icp_iters: tuple[int, ...] = (3, 5, 10)     # per level, fine -> coarse
-    icp_assoc: tuple[int, ...] = (2, 2, 5)      # association (gather) rounds
+    pyramid_levels: int = 3            # (a 4th 60x80 level was tried for
+                                       # large-motion robustness and
+                                       # REVERTED: at tiny test scales its
+                                       # ~300-px systems yield confident
+                                       # wrong coarse inits)
+    icp_iters: tuple[int, ...] = (3, 5, 16)     # per level, fine -> coarse
+    icp_assoc: tuple[int, ...] = (2, 2, 8)      # association (gather) rounds:
+                                       # the coarse level re-associates 8x --
+                                       # its gathers are 1/16 of full res, and
+                                       # extra rounds there buy large-motion
+                                       # basin width for ~free
                                        # per level; GN re-linearizes densely
                                        # between gathers (warp-once: the
                                        # association gathers dominate ICP

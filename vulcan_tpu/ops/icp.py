@@ -43,15 +43,18 @@ class ModelMaps:
     DMA on this TPU -- doing that inside every association round
     dominated ICP's cost (xplane trace, PERFORMANCE.md).
 
-    The normal + validity are PACKED into one int32 per pixel (8 bits
-    per axis + a valid bit): association is gather-rate-bound, and the
-    pack turns 4 of its 7 per-pixel gathers into 1 (normals only feed
-    the point-to-plane residual and the cos-angle gate, where 1/127
-    quantization is ~0.5 degrees -- far below the gate threshold)."""
+    Association is gather-rate-bound (~130M random elem/s), so the maps
+    are bit-packed to minimize gathers per associated pixel:
+      * vertex -> TWO int32s (x16|y16, z16|spare), 16-bit fixed point at
+        ``_VERTEX_SCALE`` steps/m over +-16 m: ~0.5 mm quantization,
+        below the surfel renderer's own output noise;
+      * normal + validity -> ONE int32 (10 bits/axis + a valid bit,
+        ~0.06 degree quantization).
+    Three gathers per pixel instead of the seven of the naive planar
+    layout."""
 
-    vx: jax.Array             # (H, W) world vertex x
-    vy: jax.Array
-    vz: jax.Array
+    vpack1: jax.Array         # (H, W) int32: qx<<16 | qy (16-bit fixed)
+    vpack2: jax.Array         # (H, W) int32: qz<<16
     npack: jax.Array          # (H, W) int32: valid<<30 | 3x 10-bit normal
     intensity: jax.Array      # (H, W)
     valid: jax.Array          # (H, W) bool (photometric path; associate
@@ -66,6 +69,43 @@ class TrackResult:
     error: jax.Array          # () mean robust point-to-plane error (m)
     inliers: jax.Array        # () int32 associated pixels at finest level
     valid: jax.Array          # () bool: enough inliers to trust the pose
+
+
+_VERTEX_SCALE = 65536.0  # 21-bit fixed-point steps/m: +-16 m at 15 um
+                         # (16-bit / 0.24 mm was tried and REVERTED: the
+                         # deterministic quantization staircase biases the
+                         # normal equations enough to diverge the
+                         # 12 deg/frame large-motion canary)
+
+
+def _pack_vertices(vx, vy, vz):
+    """Planar world-vertex channels -> two int32 images holding three
+    21-bit signed fixed-point values: p1 = qx<<11 | qy[20:10],
+    p2 = qy[9:0]<<22 | qz<<1."""
+
+    def q(v):
+        return jnp.clip(
+            jnp.round(v * _VERTEX_SCALE), -(1 << 20), (1 << 20) - 1
+        ).astype(jnp.int32)
+
+    qx, qy, qz = q(vx), q(vy), q(vz)
+    p1 = (qx << 11) | ((qy >> 10) & 0x7FF)
+    p2 = ((qy & 0x3FF) << 22) | ((qz & 0x1FFFFF) << 1)
+    return p1, p2
+
+
+def _unpack_vertices(p1, p2):
+    s = 1.0 / _VERTEX_SCALE
+    qx = p1 >> 11                                   # arithmetic: top 21 bits
+    qy = ((p1 & 0x7FF) << 10) | ((p2 >> 22) & 0x3FF)
+    qy = (qy << 11) >> 11                           # sign-extend 21 bits
+    qz = ((p2 >> 1) & 0x1FFFFF)
+    qz = (qz << 11) >> 11
+    return (
+        qx.astype(jnp.float32) * s,
+        qy.astype(jnp.float32) * s,
+        qz.astype(jnp.float32) * s,
+    )
 
 
 def _pack_normals(nx, ny, nz, valid) -> jax.Array:
@@ -109,7 +149,7 @@ def model_pyramid(
     (geometric-only tracking) skips the intensity image entirely."""
     from .preprocess import intensity_from_color
 
-    chans = [render.vx, render.vy, render.vz]
+    vp1, vp2 = _pack_vertices(render.vx, render.vy, render.vz)
     npack = _pack_normals(render.nx, render.ny, render.nz, render.valid)
     c = intensity_from_color(render.color) if with_intensity else None
     ok = render.valid
@@ -118,11 +158,11 @@ def model_pyramid(
     maps = []
     for level in range(levels):
         if level > 0:
-            chans = [x[::2, ::2] for x in chans]
+            vp1, vp2 = vp1[::2, ::2], vp2[::2, ::2]
             npack, ok = npack[::2, ::2], ok[::2, ::2]
             c = c[::2, ::2] if c is not None else None
             cam = cam.subsampled(2)
-        maps.append(ModelMaps(*chans, npack, c, ok, cam, w2c))
+        maps.append(ModelMaps(vp1, vp2, npack, c, ok, cam, w2c))
     return tuple(maps)
 
 
@@ -132,8 +172,9 @@ def model_from_frame_maps(maps: FrameMaps, pose: SE3) -> ModelMaps:
     ok = maps.depth > 0.0
     v = jnp.where(ok[..., None], pose.apply(maps.vertices), 0.0)
     n = jnp.where(ok[..., None], pose.rotate(maps.normals), 0.0)
+    vp1, vp2 = _pack_vertices(v[..., 0], v[..., 1], v[..., 2])
     return ModelMaps(
-        v[..., 0], v[..., 1], v[..., 2],
+        vp1, vp2,
         _pack_normals(n[..., 0], n[..., 1], n[..., 2], ok),
         intensity=maps.intensity,
         valid=ok,
@@ -210,13 +251,23 @@ def associate_depth(
     inb = (u >= 0) & (u < w) & (vv >= 0) & (vv < h)
     uc = jnp.clip(u, 0, w - 1)
     vc = jnp.clip(vv, 0, h - 1)
-    v_m = jnp.stack(
-        [model.vx[vc, uc], model.vy[vc, uc], model.vz[vc, uc]], axis=-1
+    mvx, mvy, mvz = _unpack_vertices(
+        model.vpack1[vc, uc], model.vpack2[vc, uc]
     )
+    v_m = jnp.stack([mvx, mvy, mvz], axis=-1)
     nx, ny, nz, okn = _unpack_normals(model.npack[vc, uc])
     n_m = jnp.stack([nx, ny, nz], axis=-1)
     ok_v = inb & okn
-    ok = (live.depth > 0.0) & ok_v & (p_m[..., 2] > 0.0)
+    # Sensor-range gate: correspondences beyond depth_max (possible in
+    # synthetic scenes; a real sensor cannot produce them) are dropped on
+    # the live side, which also keeps every packable model vertex within
+    # the +-16 m fixed-point range (model renders are bounded by ray_far).
+    ok = (
+        (live.depth > config.depth_min)
+        & (live.depth < config.depth_max)
+        & ok_v
+        & (p_m[..., 2] > 0.0)
+    )
     return v_m, n_m, ok
 
 
@@ -258,6 +309,57 @@ def depth_rows(
     return depth_rows_fixed(live, v_m, n_m, ok, pose, config)
 
 
+def _pp_normal_eqs(live: FrameMaps, v_m, n_m, assoc_ok, pose: SE3,
+                   config: Config):
+    """Point-to-plane 6x6 normal equations as 27 FUSED planar reductions.
+
+    Equivalent to depth_rows_fixed + normal_equations, but never
+    materializes the (N, 6) Jacobian: building J as an array forces a
+    minor-dim-6 relayout EVERY GN iteration (xplane trace), while 21
+    upper-triangle sums of w*j_a*j_b + 6 of w*j_a*r + error/count fuse
+    into one elementwise+reduce pass with no intermediate at all.
+    Returns (H (6,6), b (6,), err, cnt).
+    """
+    v_w = pose.apply(live.vertices)
+    n_w = pose.rotate(live.normals)
+    dx = v_w[..., 0] - v_m[..., 0]
+    dy = v_w[..., 1] - v_m[..., 1]
+    dz = v_w[..., 2] - v_m[..., 2]
+    nx, ny, nz = n_m[..., 0], n_m[..., 1], n_m[..., 2]
+    dist2 = dx * dx + dy * dy + dz * dz
+    n_dot = (
+        n_w[..., 0] * nx + n_w[..., 1] * ny + n_w[..., 2] * nz
+    )
+    gate = (
+        assoc_ok
+        & (dist2 < config.icp_dist_thresh**2)
+        & (n_dot > config.icp_normal_thresh)
+    )
+    r = nx * dx + ny * dy + nz * dz
+    w = jnp.where(gate, _huber_weight(r, config.icp_huber_delta), 0.0)
+
+    vx, vy, vz = v_w[..., 0], v_w[..., 1], v_w[..., 2]
+    j = (
+        vy * nz - vz * ny,          # [v x n]
+        vz * nx - vx * nz,
+        vx * ny - vy * nx,
+        nx, ny, nz,                 # [n]
+    )
+    H = jnp.zeros((6, 6))
+    b = jnp.zeros((6,))
+    for a in range(6):
+        wj = w * j[a]
+        for c in range(a, 6):
+            s = jnp.sum(wj * j[c])
+            H = H.at[a, c].set(s)
+            if c != a:
+                H = H.at[c, a].set(s)
+        b = b.at[a].set(jnp.sum(wj * r))
+    err = jnp.sum(w * r * r)
+    cnt = jnp.sum((w > 0.0).astype(jnp.float32))
+    return H, b, err, cnt
+
+
 def color_rows(
     live: FrameMaps, model: ModelMaps, pose: SE3, config: Config
 ):
@@ -268,7 +370,7 @@ def color_rows(
     projection.
     """
     v_live = live.vertices
-    live_ok = live.depth > 0.0
+    live_ok = (live.depth > config.depth_min) & (live.depth < config.depth_max)
     i_live = live.intensity
 
     v_w = pose.apply(v_live)
@@ -396,12 +498,9 @@ def track(
 
                 def body_fixed(_, carry, v_m=v_m, n_m=n_m, ok=ok):
                     pose, err, inl = carry
-                    J, r, w = depth_rows_fixed(
+                    H, b, e, c = _pp_normal_eqs(
                         live, v_m, n_m, ok, pose, config
                     )
-                    H, b = normal_equations(J, r, w)
-                    e = jnp.sum(w * r * r)
-                    c = jnp.sum((w > 0.0).astype(jnp.float32))
                     delta = solve_gn(H, b, config.icp_damping)
                     enough = c >= 6.0
                     delta = jnp.where(enough, delta, jnp.zeros((6,)))
