@@ -7,8 +7,9 @@ normal equations built and reduced on device [B] [P:1410.0925]).
 
 TPU-first differences from the CUDA reference (SURVEY.md §4.2):
   * per-pixel residual/Jacobian rows are one vectorized XLA pass; the 6x6
-    ``J^T W J`` reduction is a single f32-HIGHEST matmul (MXU) instead of a
-    hand-written shared-memory tree reduction;
+    ``J^T W J`` build fuses into 27 planar elementwise+reduce sums
+    (``_pp_normal_eqs``) with no (N, 6) Jacobian materialized, instead of
+    a hand-written shared-memory tree reduction;
   * the 6x6 solve happens **on device** (Cholesky) inside the same jit, so a
     whole coarse-to-fine track has zero host syncs -- the reference pays a
     device->host readback per GN iteration (SURVEY.md §4.2 "⚠ per-iter
