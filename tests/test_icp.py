@@ -114,3 +114,24 @@ def test_icp_reports_invalid_without_data():
     # Pose unchanged when there are no constraints.
     rot_err, t_err = pose_error(res.pose, true_pose)
     assert rot_err < 1e-5 and t_err < 1e-6
+
+
+def test_model_map_packing_roundtrips():
+    """Quantization contracts of the bit-packed ICP model maps: 21-bit
+    fixed-point vertices (15 um over +-16 m) and 10-bit normals with the
+    validity bit (regression guard for the pack layouts)."""
+    rng = np.random.default_rng(1)
+    v = rng.uniform(-15.9, 15.9, (3, 5000)).astype(np.float32)
+    p1, p2 = icp._pack_vertices(*(jnp.asarray(x) for x in v))
+    out = icp._unpack_vertices(p1, p2)
+    for a, b in zip(v, out):
+        assert np.abs(np.asarray(b) - a).max() < 1.0 / 65536.0
+
+    n = rng.normal(size=(3, 5000)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=0, keepdims=True)
+    valid = rng.random(5000) < 0.7
+    p = icp._pack_normals(*(jnp.asarray(x) for x in n), jnp.asarray(valid))
+    nx, ny, nz, ok = icp._unpack_normals(p)
+    assert np.array_equal(np.asarray(ok), valid)
+    for a, b in zip(n, (nx, ny, nz)):
+        assert np.abs(np.asarray(b) - a).max() < 2.0 / 511.5
