@@ -481,7 +481,11 @@ def track(
                 depth=live.depth[::st, ::st],
                 vertices=live.vertices[::st, ::st],
                 normals=live.normals[::st, ::st],
-                intensity=live.intensity[::st, ::st],
+                intensity=(
+                    live.intensity[::st, ::st]
+                    if live.intensity is not None
+                    else None
+                ),
                 camera=live.camera,
             )
 

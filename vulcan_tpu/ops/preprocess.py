@@ -173,24 +173,29 @@ def build_frame_maps(
     return FrameMaps(d, verts, normals, intensity, camera)
 
 
-def build_pyramid(frame: Frame, config: Config) -> tuple[FrameMaps, ...]:
+def build_pyramid(
+    frame: Frame, config: Config, with_intensity: bool = True
+) -> tuple[FrameMaps, ...]:
     """Coarse-to-fine pyramid of FrameMaps; index 0 = full resolution.
 
     Reference component #7 (``Pyramid`` [M]); the bilateral filter runs once
     at full resolution, coarser levels subsample the filtered depth.
+    ``with_intensity=False`` (geometric-only tracking) skips the luma image
+    and its pyramid entirely.
     """
     depth = (
         bilateral_filter(frame.depth, config)
         if config.bilateral_enabled
         else frame.depth
     )
-    intensity = intensity_from_color(frame.color)
+    intensity = intensity_from_color(frame.color) if with_intensity else None
     camera = frame.camera
     levels = []
     for level in range(config.pyramid_levels):
         if level > 0:
             depth = downsample_depth(depth, config)
-            intensity = downsample_intensity(intensity)
+            if intensity is not None:
+                intensity = downsample_intensity(intensity)
             camera = camera.scaled(0.5)
         levels.append(
             build_frame_maps(depth, intensity, camera, config, filter_depth=False)

@@ -205,7 +205,9 @@ class Tracker:
         init_pose: SE3 | None = None,
     ) -> _icp.TrackResult:
         init = init_pose if init_pose is not None else model.pose
-        live_pyr = build_pyramid(live_frame, self.config)
+        live_pyr = build_pyramid(
+            live_frame, self.config, with_intensity=(self.mode != "depth")
+        )
         model_pyr = _icp.model_pyramid(
             model, self.config.pyramid_levels,
             with_intensity=(self.mode != "depth"),

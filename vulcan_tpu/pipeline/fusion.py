@@ -144,7 +144,7 @@ def step(
     h, w = depth.shape
     camera = state.model.camera
     frame = Frame(depth, color, camera, state.pose)
-    live_pyr = build_pyramid(frame, config)
+    live_pyr = build_pyramid(frame, config, with_intensity=(mode != "depth"))
 
     # --- track against the previous model (no-op when model is empty) ---
     if "track" in (config.ablate or "").split(","):
