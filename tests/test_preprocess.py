@@ -136,3 +136,18 @@ def test_pyramid_shapes_and_consistency():
     np.testing.assert_allclose(
         np.asarray(pyr[2].depth).mean(), np.asarray(depth).mean(), atol=0.01
     )
+
+
+def test_bilateral_pallas_interpret_matches_xla():
+    """The Pallas kernel body equals the XLA fallback (interpret mode:
+    the CPU suite otherwise never exercises the TPU kernel -- VERDICT
+    round-2 'Pallas kernels are invisible to the test suite')."""
+    rng = np.random.default_rng(3)
+    depth = rng.uniform(0.5, 3.0, (64, 128)).astype(np.float32)
+    depth[rng.random((64, 128)) < 0.1] = 0.0  # dropout holes
+    depth = jnp.asarray(depth)
+    ref = pp._bilateral_math(depth, TINY)
+    out = pp._bilateral_pallas(depth, TINY, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6
+    )

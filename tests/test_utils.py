@@ -85,6 +85,8 @@ def test_volume_validate_healthy():
     assert rep["duplicate_values"] == 0
     assert rep["count_mismatch"] == 0
     assert rep["alloc_overflow"] == 0
+    assert rep["surfel_mismatch"] == 0
+    assert rep["surfel_count_mismatch"] == 0
 
     ids, coords = vol.visible_blocks()
     assert len(ids) == vol.num_visible

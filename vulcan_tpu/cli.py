@@ -160,6 +160,14 @@ def cmd_run(args):
     timer = StageTimer()
     est_traj, gt_traj = [], []
     traj_rows = []  # (ts, R, t) when --traj-out
+    # Real sensor timestamps when available: TUM evaluation tools associate
+    # estimate vs groundtruth.txt by timestamp, so exporting frame indices
+    # for a dataset run would make the trajectory unevaluable.
+    frame_ts = (
+        [f.timestamp for f in frames.frames]
+        if args.dataset and hasattr(frames, "frames")
+        else None
+    )
     n_done = 0
     t_loop = None
     trace_ctx = None
@@ -188,8 +196,9 @@ def cmd_run(args):
             est_traj.append(np.asarray(pipe.pose.translation))
             gt_traj.append(np.asarray(gt_pose.translation))
         if args.traj_out:
+            ts = frame_ts[i] if frame_ts is not None else float(i)
             traj_rows.append(
-                (float(i), np.asarray(pipe.pose.rotation),
+                (ts, np.asarray(pipe.pose.rotation),
                  np.asarray(pipe.pose.translation))
             )
         if args.verbose and i % args.log_every == 0:

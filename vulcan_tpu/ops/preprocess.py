@@ -84,11 +84,19 @@ def bilateral_filter(depth: jax.Array, config: Config) -> jax.Array:
     CPU and oversize images fall back to plain XLA.
     """
     h, w = depth.shape
-    if jax.default_backend() == "cpu" or h * w * 4 > 8 * 1024 * 1024:
+    if jax.default_backend() != "tpu" or h * w * 4 > 8 * 1024 * 1024:
         return _bilateral_math(depth, config)
+    return _bilateral_pallas(depth, config)
 
+
+def _bilateral_pallas(depth: jax.Array, config: Config, interpret=False):
+    """The VMEM-resident Pallas lowering of ``_bilateral_math``.
+    ``interpret=True`` runs the kernel body in the Pallas interpreter so
+    CPU tests exercise the same code the TPU compiles."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    h, w = depth.shape
 
     def kernel(d_ref, out_ref):
         out_ref[:] = _bilateral_math(d_ref[:], config)
@@ -98,6 +106,7 @@ def bilateral_filter(depth: jax.Array, config: Config) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((h, w), depth.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(depth)
 
 

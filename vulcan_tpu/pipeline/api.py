@@ -126,23 +126,74 @@ class Volume:
             "alloc_overflow": int(st.alloc_overflow),
             "visible_overflow": int(st.visible_overflow),
         }
+        # Persistent surfel lists must mirror the TSDF they were packed
+        # from (maintained incrementally by integration; a mismatch
+        # means a block's TSDF changed outside integrate_sparse).
+        from ..ops import blocks as _B
+
+        surf, count, _ = _B.pack_surfels(
+            st.tsdf, st.weight, _B.surfel_band(self.config),
+            self.config.surfel_slots,
+        )
+        report["surfel_mismatch"] = int(
+            (np.asarray(surf) != np.asarray(st.surfpack)).sum()
+        )
+        report["surfel_count_mismatch"] = int(
+            (np.asarray(count) != np.asarray(st.surf_count)).sum()
+        )
         return report
 
     # -- persistence (SURVEY.md §6 checkpoint/resume) --
+    _SNAPSHOT_VERSION = 3  # v2: named per-field keys (packed int32
+                           # color); v3: persistent surfel lists
+
     def save(self, path: str) -> None:
-        """Snapshot the full volume state to one .npz file."""
-        leaves, treedef = jax.tree_util.tree_flatten(self.state)
-        np.savez_compressed(
-            path, *[np.asarray(leaf) for leaf in leaves]
-        )
+        """Snapshot the full volume state to one .npz file.
+
+        Leaves are saved under their FIELD NAMES plus a format version:
+        positional (arr_0..arr_N) snapshots from before a state-layout
+        change would otherwise load silently misaligned (e.g. old f32
+        color landing in the int32 colorpack slot)."""
+        arrays = {
+            f.name: np.asarray(getattr(self.state, f.name))
+            for f in dataclasses.fields(self.state)
+        }
+        arrays["__snapshot_version__"] = np.asarray(self._SNAPSHOT_VERSION)
+        np.savez_compressed(path, **arrays)
 
     def load(self, path: str) -> None:
         data = np.load(path)
-        leaves, treedef = jax.tree_util.tree_flatten(self.state)
-        new_leaves = [
-            jnp.asarray(data[f"arr_{i}"]) for i in range(len(leaves))
-        ]
-        self.state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        if "__snapshot_version__" not in data:
+            raise ValueError(
+                f"{path} is a legacy positional snapshot (no version key); "
+                "it predates the packed-color volume layout and cannot be "
+                "loaded safely -- re-run the reconstruction to regenerate it"
+            )
+        version = int(data["__snapshot_version__"])
+        if version != self._SNAPSHOT_VERSION:
+            raise ValueError(
+                f"{path}: snapshot format v{version} does not match this "
+                f"build's v{self._SNAPSHOT_VERSION}"
+            )
+        new_state = {}
+        for f in dataclasses.fields(self.state):
+            cur = getattr(self.state, f.name)
+            if f.name not in data:
+                raise ValueError(f"{path}: snapshot is missing '{f.name}'")
+            arr = data[f.name]
+            if arr.dtype != np.asarray(cur).dtype:
+                raise ValueError(
+                    f"{path}: '{f.name}' has dtype {arr.dtype}, "
+                    f"expected {np.asarray(cur).dtype}"
+                )
+            if arr.shape != cur.shape:
+                raise ValueError(
+                    f"{path}: '{f.name}' has shape {arr.shape}, expected "
+                    f"{cur.shape} (snapshot config differs: check "
+                    "num_blocks/hash_size/max_visible)"
+                )
+            new_state[f.name] = jnp.asarray(arr)
+        self.state = dataclasses.replace(self.state, **new_state)
 
 
 class Integrator:
@@ -293,6 +344,12 @@ class Pipeline:
             "track_error": float(s.track_error),
             "track_inliers": int(s.track_inliers),
             "track_failures": int(s.track_failures),
+            "track_level_error": [
+                round(float(x), 6) for x in s.track_level_error
+            ],
+            "track_level_inliers": [
+                int(x) for x in s.track_level_inliers
+            ],
             "allocated_blocks": int(s.volume.free_count) - 1,
             "visible_blocks": int(s.volume.num_visible),
             "alloc_overflow": int(s.volume.alloc_overflow),
