@@ -1,11 +1,22 @@
 """Headline benchmark: track+fuse+raycast FPS at 640x480 (BASELINE.json).
 
 Runs the full online pipeline (the same jitted ``fusion.step`` the CLI
-uses) on a synthetic 640x480 orbit sequence -- TUM fr1_desk itself is not
+uses) on a synthetic 640x480 sequence -- TUM fr1_desk itself is not
 downloadable in this environment (SURVEY.md §0), so the workload mirrors
 its geometry: production config (8 mm voxels, 4 cm truncation band,
 65536-block hash volume), full ICP tracking, per-frame allocation,
 integration and raycast.
+
+Scenes (``--scene=``):
+  * ``orbit`` (default): four spheres + floor, 30 frames, ~1.75 rad arc.
+  * ``desk``: cluttered tabletop (18 primitives at varied depths,
+    io/synthetic.DESK_*), 60 frames over a FULL 2-pi orbit -- the
+    transfer check that the headline number is not scene-cherry-picked
+    (VERDICT round-2 item 2).
+
+Modes (``--mode=``): ``depth`` (geometric ICP, default) or ``combined``
+(geometric + photometric tracking with model-color rendering on --
+VERDICT round-2 item 3).
 
 Prints ONE JSON line:
   {"metric": ..., "value": fps, "unit": "fps", "vs_baseline": fps/30}
@@ -30,16 +41,47 @@ def main():
 
     from vulcan_tpu.config import Config
     from vulcan_tpu.core.camera import PinholeCamera
-    from vulcan_tpu.io.synthetic import orbit_poses, render_scene_depth
+    from vulcan_tpu.io.synthetic import (
+        orbit_poses,
+        render_desk_depth,
+        render_scene_depth,
+    )
     from vulcan_tpu.pipeline import fusion
 
     ablate = ""
+    scene = "orbit"
+    mode = "depth"
+    seq = 2  # frames per dispatch (fusion.step_seq); 1 = plain step
     for a in sys.argv[1:]:
         if a.startswith("--ablate="):
             ablate = a.split("=", 1)[1]
+        elif a.startswith("--scene="):
+            scene = a.split("=", 1)[1]
+        elif a.startswith("--mode="):
+            mode = a.split("=", 1)[1]
+        elif a.startswith("--seq="):
+            seq = int(a.split("=", 1)[1])
+
+    overrides = {}
+    for a in sys.argv[1:]:
+        if a.startswith("--set="):
+            k, v = a.split("=", 1)[1].split(":", 1)
+            for cast in (int, float):
+                try:
+                    v = cast(v)
+                    break
+                except ValueError:
+                    pass
+            if v in ("true", "false"):
+                v = v == "true"
+            overrides[k] = v
+
+    import dataclasses
 
     h, w = 480, 640
     config = Config(ablate=ablate)
+    if overrides:
+        config = dataclasses.replace(config, **overrides)
     camera = PinholeCamera.tum_default()
     spheres = (
         ((0.0, 0.0, 0.0), 0.5),
@@ -51,26 +93,67 @@ def main():
     noisy = "--noise" in sys.argv
     rng = np.random.default_rng(7)
 
-    n_warm, n_bench = 5, 30
-    n_total = n_warm + n_bench
-    poses = orbit_poses(
-        n_total, radius=1.6, height=0.35, span=min(6.28, n_total * 0.05)
+    if scene == "desk":
+        n_warm, n_bench = 5, 60
+        n_total = n_warm + n_bench
+        poses = orbit_poses(
+            n_total, center=(0.0, 0.0, -0.25), radius=1.5, height=0.55,
+            span=2.0 * np.pi,
+        )
+    else:
+        n_warm, n_bench = 5, 30
+        n_total = n_warm + n_bench
+        poses = orbit_poses(
+            n_total, radius=1.6, height=0.35, span=min(6.28, n_total * 0.05)
+        )
+    # Input frames are pure functions of (scene, noise, count, shape);
+    # cache them on disk so repeated bench runs skip the per-frame
+    # eager render dispatches entirely (they compete with the step
+    # compile for the remote compiler on this platform).
+    cache_path = (
+        f"/tmp/vulcan_bench_frames_{scene}_{int(noisy)}_{n_total}"
+        f"_{h}x{w}.npz"
     )
-    print("rendering input frames...", file=sys.stderr)
-    frames = []
-    for pose in poses:
-        depth, color = render_scene_depth(camera, pose, h, w, spheres, -0.6)
-        if noisy:
-            from vulcan_tpu.io.synthetic import add_depth_noise
+    try:
+        data = np.load(cache_path)
+        frames = [
+            (data[f"d{i}"], data[f"c{i}"]) for i in range(n_total)
+        ]
+        print("loaded cached input frames", file=sys.stderr)
+    except Exception:
+        print("rendering input frames...", file=sys.stderr)
+        frames = []
+        # Render the inputs ON CPU: eager per-op dispatch to the TPU
+        # tunnel costs seconds per op on this platform, and input
+        # generation is not part of the measured pipeline anyway.
+        cpu = jax.devices("cpu")[0]
+        for fi, pose in enumerate(poses):
+            print(f"  frame {fi}/{n_total}", file=sys.stderr, flush=True)
+            with jax.default_device(cpu):
+                if scene == "desk":
+                    depth, color = render_desk_depth(camera, pose, h, w)
+                else:
+                    depth, color = render_scene_depth(
+                        camera, pose, h, w, spheres, -0.6
+                    )
+            if noisy:
+                from vulcan_tpu.io.synthetic import add_depth_noise
 
-            depth = add_depth_noise(np.asarray(depth), rng)
-        # Raw sensor dtypes (uint16 depth @ TUM scale, uint8 color): what a
-        # real camera feed uploads; converted to metric on device.
-        d16 = np.clip(
-            np.asarray(depth) * config.depth_raw_scale, 0, 65535
-        ).astype(np.uint16)
-        c8 = np.clip(np.asarray(color) * 255.0, 0, 255).astype(np.uint8)
-        frames.append((d16, c8))
+                depth = add_depth_noise(np.asarray(depth), rng)
+            # Raw sensor dtypes (uint16 depth @ TUM scale, uint8 color):
+            # what a real camera feed uploads; converted on device.
+            d16 = np.clip(
+                np.asarray(depth) * config.depth_raw_scale, 0, 65535
+            ).astype(np.uint16)
+            c8 = np.clip(
+                np.asarray(color) * 255.0, 0, 255
+            ).astype(np.uint8)
+            frames.append((d16, c8))
+        np.savez(
+            cache_path,
+            **{f"d{i}": d for i, (d, _) in enumerate(frames)},
+            **{f"c{i}": c for i, (_, c) in enumerate(frames)},
+        )
 
     state = fusion.init_state(config, camera, h, w, init_pose=poses[0])
 
@@ -79,42 +162,91 @@ def main():
     # next frame while the current one is processed.
     from vulcan_tpu.utils.runtime import prefetch_to_device
 
+    track_est = noisy or scene == "desk"
+    if track_est and seq != 1:
+        seq = 1  # per-frame pose sampling needs per-frame dispatches
+
+    def groups(fs):
+        """Group frames into step_seq batches of ``seq``."""
+        if seq == 1:
+            return fs
+        return [
+            (
+                np.stack([d for d, _ in fs[i : i + seq]]),
+                np.stack([c for _, c in fs[i : i + seq]]),
+            )
+            for i in range(0, len(fs) - len(fs) % seq, seq)
+        ]
+
+    def run_one(state, d, c):
+        if seq == 1:
+            return fusion.step(state, d, c, config, mode)
+        return fusion.step_seq(state, d, c, config, mode)
+
+    debug = "--debug" in sys.argv
+
+    def dbg(tag, state):
+        if debug:
+            print(
+                f"  {tag}: inl={int(state.track_inliers)} "
+                f"err={float(state.track_error):.4f} "
+                f"fail={int(state.track_failures)} "
+                f"lvl_inl={[int(x) for x in state.track_level_inliers]} "
+                f"model_px={int(state.model.valid.sum())} "
+                f"alloc={int(state.volume.free_count) - 1} "
+                f"surf={int(state.volume.surf_count.sum())} "
+                f"surf_ovf={int(state.volume.surf_overflow)}",
+                file=sys.stderr, flush=True,
+            )
+
+    n_warm_g = n_warm - n_warm % seq
+    n_bench_g = n_bench - n_bench % seq
     print("compiling + warmup...", file=sys.stderr)
-    for d, c in prefetch_to_device(frames[:n_warm]):
-        state = fusion.step(state, d, c, config)
+    for i, (d, c) in enumerate(prefetch_to_device(groups(frames[:n_warm_g]))):
+        state = run_one(state, d, c)
+        dbg(f"warm {i}", state)
     jax.block_until_ready(state.model.depth)
 
     print("benchmarking...", file=sys.stderr)
     est = []  # device arrays; kept lazy so collection never forces a sync
     t0 = time.perf_counter()
-    for d, c in prefetch_to_device(frames[n_warm : n_warm + n_bench]):
-        state = fusion.step(state, d, c, config)
-        if noisy:
+    for i, (d, c) in enumerate(prefetch_to_device(
+        groups(frames[n_warm : n_warm + n_bench_g])
+    )):
+        state = run_one(state, d, c)
+        dbg(f"bench {i}", state)
+        if track_est:
             # Explicit device copy: the raw buffer is donated (and thus
             # deleted) by the next step.
             est.append(jnp.array(state.pose.translation))
     jax.block_until_ready(state.model.depth)
     dt = time.perf_counter() - t0
-    fps = n_bench / dt
+    fps = n_bench_g / dt
 
     # Sanity: the tracked pipeline must actually have fused + tracked.
     if not ablate:
         assert int(state.volume.free_count) > 100
         assert int(state.track_inliers) > 1000, int(state.track_inliers)
 
+    name = "track+fuse+raycast FPS @ 640x480"
+    name += " (desk scene, full 2pi orbit" if scene == "desk" else (
+        " (synthetic orbit"
+    )
+    name += ", combined-mode ICP)" if mode == "combined" else ", full ICP)"
     result = {
-        "metric": "track+fuse+raycast FPS @ 640x480 (synthetic orbit, full ICP)",
+        "metric": name,
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
     }
-    if noisy:
+    if track_est:
         from vulcan_tpu.utils.evaluate import ate_rmse
 
         gt = np.stack(
             [np.asarray(p.translation) for p in poses[n_warm:]]
         )
-        result["metric"] += " [Kinect-noise depth]"
+        if noisy:
+            result["metric"] += " [Kinect-noise depth]"
         result["ate_rmse_m"] = round(
             float(ate_rmse(np.stack([np.asarray(e) for e in est]), gt)), 5
         )

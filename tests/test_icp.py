@@ -127,6 +127,23 @@ def test_model_map_packing_roundtrips():
     for a, b in zip(v, out):
         assert np.abs(np.asarray(b) - a).max() < 1.0 / 65536.0
 
+    # Camera-relative packing: vertices far from the WORLD origin (well
+    # beyond the raw +-16 m span) roundtrip exactly as long as they stay
+    # within range of the model camera -- the long-trajectory regression
+    # the absolute packing had.
+    origin = jnp.asarray([103.0, -77.5, 250.25], np.float32)
+    v_far = np.asarray(origin)[:, None] + rng.uniform(
+        -5.0, 5.0, (3, 5000)
+    ).astype(np.float32)
+    p1, p2 = icp._pack_vertices(
+        *(jnp.asarray(x) for x in v_far), origin
+    )
+    out = icp._unpack_vertices(p1, p2, origin)
+    for a, b in zip(v_far, out):
+        # Absolute error grows with the origin's own f32 rounding; 0.1 mm
+        # is still 100x tighter than the association distance gate.
+        assert np.abs(np.asarray(b) - a).max() < 1e-4
+
     n = rng.normal(size=(3, 5000)).astype(np.float32)
     n /= np.linalg.norm(n, axis=0, keepdims=True)
     valid = rng.random(5000) < 0.7
@@ -135,3 +152,110 @@ def test_model_map_packing_roundtrips():
     assert np.array_equal(np.asarray(ok), valid)
     for a, b in zip(n, (nx, ny, nz)):
         assert np.abs(np.asarray(b) - a).max() < 2.0 / 511.5
+
+
+def test_starved_coarse_level_invalidates_track():
+    """Per-level health (VERDICT round-2 item 4): a coarse level with no
+    usable model data must invalidate the whole track, even though the
+    finest level alone would pass the inlier threshold."""
+    true_pose = look_at((1.4, 0.3, 0.5), (0.0, 0.0, 0.0))
+    frame = scene_frame(true_pose)
+    pyr_model = build_pyramid(frame, CFG)
+    model_pyr = list(
+        icp.model_from_frame_maps(m, true_pose) for m in pyr_model
+    )
+    # Starve the coarsest level: kill every valid bit in its packed maps.
+    coarse = model_pyr[-1]
+    model_pyr[-1] = dataclasses.replace(
+        coarse,
+        npack=jnp.zeros_like(coarse.npack),
+        valid=jnp.zeros_like(coarse.valid),
+    )
+    live_pyr = build_pyramid(frame, CFG)
+    res = icp.track(live_pyr, tuple(model_pyr), true_pose, CFG)
+    assert int(res.level_inliers[-1]) == 0
+    # The finest level still tracked fine on its own...
+    assert int(res.inliers) > CFG.icp_min_inliers
+    # ...but the per-level gate declares the track invalid.
+    assert not bool(res.valid)
+
+    # Control: the intact pyramid is valid and reports healthy levels.
+    res_ok = icp.track(
+        live_pyr,
+        tuple(
+            icp.model_from_frame_maps(m, true_pose) for m in pyr_model
+        ),
+        true_pose, CFG,
+    )
+    assert bool(res_ok.valid)
+    assert all(int(x) > 0 for x in res_ok.level_inliers)
+    assert all(
+        float(e) < CFG.icp_max_error for e in res_ok.level_error
+    )
+
+
+def test_patched_association_matches_flat():
+    """The one-hot patch association must return EXACTLY the flat
+    path's packed model values wherever it associates, and cover ~all
+    of the flat associations for a smooth small warp."""
+    true_pose = look_at((1.4, 0.3, 0.5), (0.0, 0.0, 0.0))
+    frame = scene_frame(true_pose)
+    pyr = build_pyramid(frame, CFG)
+    live = pyr[0]
+    model = icp.model_from_frame_maps(pyr[0], true_pose)
+    # A small warp: a few degrees / cm off the model pose.
+    xi = np.asarray([0.02, -0.03, 0.02, 0.02, -0.01, 0.02], np.float32)
+    pose = SE3.exp(jnp.asarray(xi)) @ true_pose
+
+    v_f, n_f, ok_f = icp.associate_depth(live, model, pose, CFG)
+    assoc = icp._PatchAssoc(model)
+    v_p, n_p, ok_p = icp.associate_depth_patched(
+        live, model, pose, CFG, assoc
+    )
+    okf = np.asarray(ok_f)
+    okp = np.asarray(ok_p)
+    assert okf.sum() > 5000
+    # Patched associations are a subset of flat ones (window drops only).
+    assert (okp & ~okf).sum() == 0
+    assert okp.sum() / okf.sum() > 0.99, okp.sum() / okf.sum()
+    both = okp & okf
+    np.testing.assert_array_equal(
+        np.asarray(v_p)[both], np.asarray(v_f)[both]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(n_p)[both], np.asarray(n_f)[both]
+    )
+
+    # Window reuse across rounds: a slightly moved pose still associates
+    # against the frozen windows.
+    pose2 = SE3.exp(jnp.asarray(0.3 * xi)) @ true_pose
+    v_f2, n_f2, ok_f2 = icp.associate_depth(live, model, pose2, CFG)
+    v_p2, n_p2, ok_p2 = icp.associate_depth_patched(
+        live, model, pose2, CFG, assoc
+    )
+    both2 = np.asarray(ok_p2) & np.asarray(ok_f2)
+    assert both2.sum() / np.asarray(ok_f2).sum() > 0.98
+    np.testing.assert_array_equal(
+        np.asarray(v_p2)[both2], np.asarray(v_f2)[both2]
+    )
+
+
+def test_track_with_patched_association():
+    """Full coarse-to-fine track with assoc_patch forced on recovers a
+    perturbed pose like the flat path (fine levels patch-gather, the
+    coarsest stays flat)."""
+    cfg = dataclasses.replace(CFG, assoc_patch="on")
+    true_pose = look_at((1.4, 0.3, 0.5), (0.0, 0.0, 0.0))
+    frame = scene_frame(true_pose)
+    pyr_model = build_pyramid(frame, cfg)
+    model_pyr = tuple(
+        icp.model_from_frame_maps(m, true_pose) for m in pyr_model
+    )
+    live_pyr = build_pyramid(frame, cfg)
+    xi = np.asarray([0.03, -0.03, 0.02, 0.02, -0.02, 0.02])
+    init = SE3.exp(jnp.asarray(xi, jnp.float32)) @ true_pose
+    res = icp.track(live_pyr, model_pyr, init, cfg)
+    rot_err, t_err = pose_error(res.pose, true_pose)
+    assert bool(res.valid)
+    assert rot_err < 0.2, rot_err
+    assert t_err < 0.005, t_err

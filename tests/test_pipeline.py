@@ -26,7 +26,17 @@ CFG = dataclasses.replace(
     TINY,
     voxel_size=0.015,
     trunc_dist=0.06,
-    icp_iters=(4, 5, 8),
+    # Production-like coarse budget.  The old (4,5,8) setting put the
+    # 12 deg/frame five-class canary EXACTLY on a convergence-basin
+    # knife edge: +-15 um association perturbations flipped it, with
+    # OPPOSITE outcomes on CPU vs TPU (round-3 study, PERFORMANCE.md),
+    # and even a deliberately broken 0.24 mm vertex quantization passed
+    # once the coarse level got its production 16 iterations -- the
+    # canary's apparent sensitivity was basin-edge flakiness, not
+    # association diagnostics.  Association regressions are now caught
+    # by exact-equality tests instead (test_icp.py: packing roundtrips,
+    # patched-vs-flat association equality).
+    icp_iters=(4, 5, 16),
     # The floor plane allocates blocks out to depth_max; needs more room
     # than TINY's 2048-block budget.
     num_blocks=8192,
@@ -278,3 +288,80 @@ def test_closed_loop_tracking_splat_renderer():
     assert diag["track_inliers"] > 1000
     rmse = ate_rmse(np.stack(est), np.stack(gt))
     assert rmse < 0.02, f"splat-renderer ATE RMSE {rmse:.4f} m"
+
+
+def test_motion_prediction_extrapolates():
+    """predict_pose extrapolates a DAMPED fraction of the last
+    inter-frame motion (see fusion.predict_pose for why damping is a
+    stability requirement), and is identity-safe when prev_pose == pose
+    (frame 0 / gate-held frames)."""
+    from vulcan_tpu.core.se3 import SE3
+    from vulcan_tpu.pipeline import fusion
+
+    state = fusion.init_state(CFG, CAM, H, W, init_pose=None)
+    # Identity-safe at start.
+    p = fusion.predict_pose(state, CFG)
+    assert np.allclose(np.asarray(p.translation), 0.0, atol=1e-7)
+
+    poses = orbit_poses(3, (0.0, 0.0, 0.0), radius=1.5, height=0.3,
+                        span=0.3)
+    state = dataclasses.replace(
+        state,
+        model=dataclasses.replace(state.model, pose=poses[1]),
+        prev_pose=poses[0],
+    )
+    pred = fusion.predict_pose(state, CFG)
+    # Damped extrapolation: delta = P1 P0^-1, pred = exp(a log delta) P1.
+    delta = poses[1] @ poses[0].inverse()
+    expect = SE3.exp(CFG.motion_prediction * delta.log()) @ poses[1]
+    assert np.allclose(
+        np.asarray(pred.translation), np.asarray(expect.translation),
+        atol=1e-6,
+    )
+    assert np.allclose(
+        np.asarray(pred.rotation), np.asarray(expect.rotation), atol=1e-6
+    )
+    # The half-step prediction lands between the previous pose and the
+    # true next orbit pose (smooth path), closer than no prediction.
+    gap_pred = np.linalg.norm(
+        np.asarray(pred.translation) - np.asarray(poses[2].translation)
+    )
+    gap_none = np.linalg.norm(
+        np.asarray(poses[1].translation) - np.asarray(poses[2].translation)
+    )
+    assert gap_pred < 0.6 * gap_none
+    # Disabled -> raw previous pose.
+    cfg_off = dataclasses.replace(CFG, motion_prediction=0.0)
+    pred_off = fusion.predict_pose(state, cfg_off)
+    assert np.allclose(
+        np.asarray(pred_off.translation),
+        np.asarray(poses[1].translation), atol=1e-7,
+    )
+
+
+def test_step_seq_matches_step():
+    """fusion.step_seq (k frames per dispatch) is a lax.scan of the
+    same per-frame step: final state must match running step twice."""
+    from vulcan_tpu.pipeline import fusion
+
+    poses = orbit_poses(3, (0.0, 0.0, 0.0), radius=1.6, height=0.35,
+                        span=0.2)
+    frames = [scene(p) for p in poses[1:]]
+    s_a = fusion.init_state(CFG, CAM, H, W, init_pose=poses[0])
+    s_b = fusion.init_state(CFG, CAM, H, W, init_pose=poses[0])
+
+    for d, c in frames:
+        s_a = fusion.step(s_a, d, c, CFG)
+    ds = jnp.stack([d for d, _ in frames])
+    cs = jnp.stack([c for _, c in frames])
+    s_b = fusion.step_seq(s_b, ds, cs, CFG)
+
+    assert int(s_b.frame_idx) == int(s_a.frame_idx) == 2
+    np.testing.assert_allclose(
+        np.asarray(s_b.pose.translation),
+        np.asarray(s_a.pose.translation), atol=1e-7,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_b.volume.tsdf), np.asarray(s_a.volume.tsdf)
+    )
+    assert int(s_b.track_inliers) == int(s_a.track_inliers)

@@ -1,0 +1,91 @@
+"""Measure what row-sharding the images actually buys on a virtual mesh.
+
+VERDICT r2 item 9: the sharding docstring claimed replicated integration
+"costs a small fraction" without a measurement.  This times steady-state
+online steps on a 1-device vs an N-device host-platform (CPU) mesh --
+NOT TPU ICI, so the number characterizes the sharded program's division
+of labor (per-pixel stages split N ways, volume stages replicated), not
+interconnect performance.  Run in a clean process:
+
+  JAX_PLATFORMS=cpu python tools/bench_multichip.py [n_devices=8]
+
+(the script re-forces the CPU platform itself, like the driver dryrun).
+"""
+import json
+import os
+import sys
+import time
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={N}"
+).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    import jax.extend as jex
+
+    jex.backend.clear_backends()
+except Exception:
+    pass
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+from vulcan_tpu.config import TINY
+from vulcan_tpu.core.camera import PinholeCamera
+from vulcan_tpu.core.se3 import SE3
+from vulcan_tpu.io.synthetic import orbit_poses, render_scene_depth
+from vulcan_tpu.parallel.sharding import make_mesh, make_sharded_step, state_sharding
+from vulcan_tpu.pipeline import fusion
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def run_steps(n_devices: int, frames, camera, h, w, n_time: int):
+    mesh = make_mesh(n_devices, devices=jax.devices("cpu")[:n_devices])
+    config = TINY
+    state = fusion.init_state(config, camera, h, w)
+    state = jax.device_put(state, state_sharding(mesh, state))
+    step = make_sharded_step(config, mesh, h, w)
+    rows = NamedSharding(mesh, P("pix"))
+    put = lambda d, c: (jax.device_put(d, rows), jax.device_put(c, rows))
+    for d, c in frames[:2]:
+        state = step(state, *put(d, c))
+    jax.block_until_ready(state.model.depth)
+    t0 = time.perf_counter()
+    for _ in range(n_time):
+        for d, c in frames[2:]:
+            state = step(state, *put(d, c))
+    jax.block_until_ready(state.model.depth)
+    per = (time.perf_counter() - t0) / (n_time * len(frames[2:])) * 1e3
+    return per
+
+
+def main():
+    h, w = 240, 320
+    camera = PinholeCamera.create(0.8 * w, 0.8 * w, w / 2 - 0.5, h / 2 - 0.5)
+    spheres = (((0.0, 0.0, 0.0), 0.5), ((0.5, 0.3, 0.1), 0.25))
+    poses = orbit_poses(6, radius=1.5, height=0.3, span=0.25)
+    frames = []
+    for pose in poses:
+        d, c = render_scene_depth(camera, pose, h, w, spheres, -0.6)
+        frames.append((np.asarray(d), np.asarray(c)))
+
+    ms1 = run_steps(1, frames, camera, h, w, n_time=3)
+    msN = run_steps(N, frames, camera, h, w, n_time=3)
+    print(json.dumps({
+        "platform": "cpu-host-mesh (not ICI)",
+        "shape": [h, w],
+        "ms_per_step_1dev": round(ms1, 2),
+        f"ms_per_step_{N}dev": round(msN, 2),
+        "speedup": round(ms1 / msN, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,15 @@ class Config:
                                        #  meters of visible scene per axis)
 
     # --- integration ---
+    integrate_gather: str = "auto"     # depth-image sampling: "onehot"
+                                       # (per-block mip patches + one-hot
+                                       # MXU matmul gather, ~8x the flat
+                                       # element-gather rate on TPU --
+                                       # tools/bench_patch_gather.py),
+                                       # "flat" (per-element gathers), or
+                                       # "auto" (onehot on TPU, flat
+                                       # elsewhere -- the dense one-hot is
+                                       # hostile to CPU test runtimes)
     integrate_chunk: int = 1024        # visible blocks fused per loop round
     depth_raw_scale: float = 5000.0    # uint16 depth units per meter (TUM)
     depth_min: float = 0.1             # valid depth range (meters)
@@ -64,6 +73,19 @@ class Config:
                                        # continuous shell (>=1.5 voxels),
                                        # tight enough that z + tsdf*mu
                                        # stays in the linear TSDF region
+    splat_source: str = "surfels"      # depth-path z-buffer source:
+                                       # "surfels" (persistent compacted
+                                       # surfel lists, ~4x fewer scatter
+                                       # lanes) or "direct" (all 512
+                                       # voxels of each surface block,
+                                       # masked -- the pre-r3 path)
+    surfel_slots: int = 192            # persistent surfel-list slots per
+                                       # block: covers an axis-aligned
+                                       # plane's worst case (8x8x3-voxel
+                                       # shell); oblique planes can emit
+                                       # more -- overflow is counted, and
+                                       # dropped surfels only cost
+                                       # hole-fill work downstream
     splat_polish: int = 0              # trilinear snap rounds (0 = off:
                                        #   one linear secant over a +-2
                                        #   voxel bracket MOVES depth wrong
@@ -100,6 +122,25 @@ class Config:
                                        # was tried and REVERTED: it hard-
                                        # diverges the 12 deg/frame large-
                                        # motion canary (five-class test)
+    assoc_patch: str = "auto"          # ICP association gathers on the
+                                       # non-coarsest levels: "auto"
+                                       # (one-hot MXU patch gather on
+                                       # TPU, flat elsewhere), "on",
+                                       # "off".  See ops/icp.py
+                                       # _PatchAssoc.
+    motion_prediction: float = 0.5     # damped constant-velocity tracker
+                                       # init: extrapolate this fraction
+                                       # of the last inter-frame motion
+                                       # (0 = previous-pose init).  MUST
+                                       # stay <= 0.5: the prediction
+                                       # feeds back through the tracked
+                                       # pose, and full extrapolation
+                                       # (1.0) is unstable whenever ICP
+                                       # corrects weakly -- see
+                                       # pipeline/fusion.predict_pose
+                                       # for the stability analysis (it
+                                       # collapsed the 640x480 bench at
+                                       # frame ~13, round 3)
     icp_dist_thresh: float = 0.1       # association gates (meters / cos angle)
     icp_normal_thresh: float = 0.8
     icp_damping: float = 1e-4          # relative Levenberg damping on the 6x6
@@ -149,6 +190,21 @@ class Config:
         )
         assert self.mesh_chunk & (self.mesh_chunk - 1) == 0, (
             "mesh_chunk must be a power of 2 (chunked-loop divisibility)"
+        )
+        assert 0.0 <= float(self.motion_prediction) <= 1.0, (
+            "motion_prediction is an extrapolation fraction in [0, 1] "
+            "(values above 0.5 risk tracking instability -- see "
+            "pipeline/fusion.predict_pose)"
+        )
+        # The ICP model maps pack vertices as 21-bit fixed point spanning
+        # +-16 m around the model camera (ops/icp.py _VERTEX_SCALE).
+        # Camera-relative distance of any rendered vertex is bounded by
+        # range * sec(FOV corner) < ~1.3 * range; enforce a safe margin so
+        # a large-range config cannot silently wrap the packed vertices.
+        assert max(self.ray_far, self.depth_max) <= 12.0, (
+            "ray_far/depth_max above 12 m would overflow the 21-bit "
+            "camera-relative vertex packing in the ICP model maps "
+            "(+-16 m span); lower the range or widen _VERTEX_SCALE"
         )
 
     @property

@@ -46,20 +46,29 @@ class ModelMaps:
 
     Association is gather-rate-bound (~130M random elem/s), so the maps
     are bit-packed to minimize gathers per associated pixel:
-      * vertex -> TWO int32s (x16|y16, z16|spare), 16-bit fixed point at
-        ``_VERTEX_SCALE`` steps/m over +-16 m: ~0.5 mm quantization,
-        below the surfel renderer's own output noise;
+      * vertex -> TWO int32s holding three 21-bit signed fixed-point
+        values (p1 = qx<<11 | qy[20:10], p2 = qy[9:0]<<22 | qz<<1) at
+        ``_VERTEX_SCALE`` steps/m: 15 um quantization over a +-16 m
+        span, far below the surfel renderer's own output noise;
       * normal + validity -> ONE int32 (10 bits/axis + a valid bit,
         ~0.06 degree quantization).
     Three gathers per pixel instead of the seven of the naive planar
-    layout."""
+    layout.
 
-    vpack1: jax.Array         # (H, W) int32: qx<<16 | qy (16-bit fixed)
-    vpack2: jax.Array         # (H, W) int32: qz<<16
+    Vertices are packed RELATIVE to ``origin`` (the model camera's world
+    position): model renders are bounded by ``ray_far`` in camera space,
+    so camera-relative coordinates stay well inside the +-16 m
+    fixed-point span no matter how far the trajectory wanders from the
+    world origin (absolute packing silently saturated beyond +-16 m)."""
+
+    vpack1: jax.Array         # (H, W) int32: qx<<11 | qy[20:10]
+    vpack2: jax.Array         # (H, W) int32: qy[9:0]<<22 | qz<<1
     npack: jax.Array          # (H, W) int32: valid<<30 | 3x 10-bit normal
     intensity: jax.Array      # (H, W)
     valid: jax.Array          # (H, W) bool (photometric path; associate
                               # reads the packed bit instead)
+    origin: jax.Array         # (3,) world point the packed verts are
+                              # relative to (the model camera center)
     camera: PinholeCamera
     world_to_cam: SE3
 
@@ -69,7 +78,10 @@ class TrackResult:
     pose: SE3                 # live camera-to-world
     error: jax.Array          # () mean robust point-to-plane error (m)
     inliers: jax.Array        # () int32 associated pixels at finest level
-    valid: jax.Array          # () bool: enough inliers to trust the pose
+    valid: jax.Array          # () bool: every level had enough inliers
+    level_error: jax.Array    # (levels,) robust rms per level (fine->coarse,
+                              # from each level's LAST GN iteration)
+    level_inliers: jax.Array  # (levels,) int32 gated pixels per level
 
 
 _VERTEX_SCALE = 65536.0  # 21-bit fixed-point steps/m: +-16 m at 15 um
@@ -79,33 +91,54 @@ _VERTEX_SCALE = 65536.0  # 21-bit fixed-point steps/m: +-16 m at 15 um
                          # 12 deg/frame large-motion canary)
 
 
-def _pack_vertices(vx, vy, vz):
+def _snap_origin(t: jax.Array) -> jax.Array:
+    """Snap a world point onto the vertex quantization grid.
+
+    Packing relative to a SNAPPED origin keeps the fixed-point grid
+    aligned with the absolute 1/_VERTEX_SCALE lattice (the shift is an
+    integer number of steps), so re-centering changes which window of
+    the lattice is addressable without moving the lattice itself --
+    quantized vertices are bit-identical to absolute packing whenever
+    both are in range."""
+    s = _VERTEX_SCALE
+    return jnp.round(t * s) * (1.0 / s)
+
+
+def _pack_vertices(vx, vy, vz, origin=None):
     """Planar world-vertex channels -> two int32 images holding three
     21-bit signed fixed-point values: p1 = qx<<11 | qy[20:10],
-    p2 = qy[9:0]<<22 | qz<<1."""
+    p2 = qy[9:0]<<22 | qz<<1.  ``origin`` (3,) re-centers the span:
+    coordinates are quantized relative to it (see ModelMaps; callers
+    snap it with ``_snap_origin``)."""
 
-    def q(v):
+    def q(v, o):
+        if origin is not None:
+            v = v - o
         return jnp.clip(
             jnp.round(v * _VERTEX_SCALE), -(1 << 20), (1 << 20) - 1
         ).astype(jnp.int32)
 
-    qx, qy, qz = q(vx), q(vy), q(vz)
+    o = (None, None, None) if origin is None else origin
+    qx, qy, qz = q(vx, o[0]), q(vy, o[1]), q(vz, o[2])
     p1 = (qx << 11) | ((qy >> 10) & 0x7FF)
     p2 = ((qy & 0x3FF) << 22) | ((qz & 0x1FFFFF) << 1)
     return p1, p2
 
 
-def _unpack_vertices(p1, p2):
+def _unpack_vertices(p1, p2, origin=None):
     s = 1.0 / _VERTEX_SCALE
     qx = p1 >> 11                                   # arithmetic: top 21 bits
     qy = ((p1 & 0x7FF) << 10) | ((p2 >> 22) & 0x3FF)
     qy = (qy << 11) >> 11                           # sign-extend 21 bits
     qz = ((p2 >> 1) & 0x1FFFFF)
     qz = (qz << 11) >> 11
+    ox, oy, oz = (0.0, 0.0, 0.0) if origin is None else (
+        origin[0], origin[1], origin[2]
+    )
     return (
-        qx.astype(jnp.float32) * s,
-        qy.astype(jnp.float32) * s,
-        qz.astype(jnp.float32) * s,
+        qx.astype(jnp.float32) * s + ox,
+        qy.astype(jnp.float32) * s + oy,
+        qz.astype(jnp.float32) * s + oz,
     )
 
 
@@ -150,7 +183,8 @@ def model_pyramid(
     (geometric-only tracking) skips the intensity image entirely."""
     from .preprocess import intensity_from_color
 
-    vp1, vp2 = _pack_vertices(render.vx, render.vy, render.vz)
+    origin = _snap_origin(render.pose.translation)
+    vp1, vp2 = _pack_vertices(render.vx, render.vy, render.vz, origin)
     npack = _pack_normals(render.nx, render.ny, render.nz, render.valid)
     c = intensity_from_color(render.color) if with_intensity else None
     ok = render.valid
@@ -163,7 +197,7 @@ def model_pyramid(
             npack, ok = npack[::2, ::2], ok[::2, ::2]
             c = c[::2, ::2] if c is not None else None
             cam = cam.subsampled(2)
-        maps.append(ModelMaps(vp1, vp2, npack, c, ok, cam, w2c))
+        maps.append(ModelMaps(vp1, vp2, npack, c, ok, origin, cam, w2c))
     return tuple(maps)
 
 
@@ -171,14 +205,16 @@ def model_from_frame_maps(maps: FrameMaps, pose: SE3) -> ModelMaps:
     """Lift camera-space FrameMaps to world-space ModelMaps (used to
     bootstrap tracking before the first raycast, and in tests)."""
     ok = maps.depth > 0.0
-    v = jnp.where(ok[..., None], pose.apply(maps.vertices), 0.0)
+    origin = _snap_origin(pose.translation)
+    v = jnp.where(ok[..., None], pose.apply(maps.vertices), origin)
     n = jnp.where(ok[..., None], pose.rotate(maps.normals), 0.0)
-    vp1, vp2 = _pack_vertices(v[..., 0], v[..., 1], v[..., 2])
+    vp1, vp2 = _pack_vertices(v[..., 0], v[..., 1], v[..., 2], origin)
     return ModelMaps(
         vp1, vp2,
         _pack_normals(n[..., 0], n[..., 1], n[..., 2], ok),
         intensity=maps.intensity,
         valid=ok,
+        origin=origin,
         camera=maps.camera,
         world_to_cam=pose.inverse(),
     )
@@ -253,7 +289,7 @@ def associate_depth(
     uc = jnp.clip(u, 0, w - 1)
     vc = jnp.clip(vv, 0, h - 1)
     mvx, mvy, mvz = _unpack_vertices(
-        model.vpack1[vc, uc], model.vpack2[vc, uc]
+        model.vpack1[vc, uc], model.vpack2[vc, uc], model.origin
     )
     v_m = jnp.stack([mvx, mvy, mvz], axis=-1)
     nx, ny, nz, okn = _unpack_normals(model.npack[vc, uc])
@@ -261,8 +297,8 @@ def associate_depth(
     ok_v = inb & okn
     # Sensor-range gate: correspondences beyond depth_max (possible in
     # synthetic scenes; a real sensor cannot produce them) are dropped on
-    # the live side, which also keeps every packable model vertex within
-    # the +-16 m fixed-point range (model renders are bounded by ray_far).
+    # the live side.  (The packed model vertices are camera-relative, so
+    # they stay in fixed-point range by construction -- see ModelMaps.)
     ok = (
         (live.depth > config.depth_min)
         & (live.depth < config.depth_max)
@@ -270,6 +306,199 @@ def associate_depth(
         & (p_m[..., 2] > 0.0)
     )
     return v_m, n_m, ok
+
+
+# ---------------------------------------------------------------------------
+# Patch-based association (one-hot MXU gather)
+# ---------------------------------------------------------------------------
+#
+# Association is gather-rate-bound: ~140M random lanes/s on the v5e means
+# each (H, W)-sized association round costs ~0.8 ms x 3 maps
+# (PERFORMANCE.md round 3).  But the warp is locally smooth -- a tile of
+# live pixels lands in a compact model-image window -- so the same
+# one-hot-matmul gather that rebuilt integration applies: extract one
+# model patch per live tile (plain row gathers from 32-wide-tiled maps)
+# and gather all six value columns (hi/lo halves of vpack1/vpack2/npack)
+# with ONE batched MXU matmul per round.  Pixels whose warp leaves the
+# patch window (large parallax jumps, erratic motion) simply drop out of
+# that round's associations -- the coarsest level keeps flat gathers and
+# absorbs global motion first, and the constant-velocity prediction
+# keeps fine-level windows tight.
+
+_AT_H = 8         # live tile height
+_AT_W = 32        # live tile width
+_AP_ROWS = 32     # patch rows
+_AP_TILES = 3     # patch column tiles (32 px each)
+_AP_P = _AP_ROWS * _AP_TILES * 32  # 3072
+
+
+def _pad_to(x, h, w, fill):
+    ph, pw = h - x.shape[0], w - x.shape[1]
+    if ph == 0 and pw == 0:
+        return x
+    return jnp.pad(x, ((0, ph), (0, pw)), constant_values=fill)
+
+
+def _to_tiles(x, Ht, Wt):
+    """(Hp, Wp) -> (T, 256) in (tile, within-tile row-major) order."""
+    return (
+        x.reshape(Ht, _AT_H, Wt, _AT_W)
+        .transpose(0, 2, 1, 3)
+        .reshape(Ht * Wt, _AT_H * _AT_W)
+    )
+
+
+def _from_tiles(x, Ht, Wt, Hs, Ws):
+    """(T, 256, ...) -> (Hs, Ws, ...) undoing _to_tiles (+ crop)."""
+    tail = x.shape[2:]
+    out = (
+        x.reshape(Ht, Wt, _AT_H, _AT_W, *tail)
+        .transpose(0, 2, 1, 3, *(4 + i for i in range(len(tail))))
+        .reshape(Ht * _AT_H, Wt * _AT_W, *tail)
+    )
+    return out[:Hs, :Ws]
+
+
+class _PatchAssoc:
+    """Per-level association state: tiled model maps + frozen windows.
+
+    Windows are computed from the FIRST round's warp and reused by later
+    rounds (the pose moves sub-pixel between rounds; the +-12 px / +-32
+    px window slack absorbs it, and drifted-out pixels just drop)."""
+
+    def __init__(self, model: ModelMaps):
+        self.model = model
+        Hm, Wm = model.valid.shape
+        self.Hm, self.Wm = Hm, Wm
+        self.Wt = max(-(-Wm // 32), _AP_TILES)
+        self.Hp = max(Hm, _AP_ROWS)
+        pads = [
+            _pad_to(m, self.Hp, self.Wt * 32, 0)
+            for m in (model.vpack1, model.vpack2, model.npack)
+        ]
+        # One stacked tile buffer: row r of map k lives at k*Hp*Wt + r.
+        self.tiles = jnp.concatenate(
+            [p.reshape(self.Hp * self.Wt, 32) for p in pads], axis=0
+        )
+        self.windows = None       # (T,) v0, k0 after freeze()
+
+    def freeze_windows(self, uv, ok, Ht, Wt_live):
+        """Tile windows from this round's warp; returns patches rhs."""
+        big = jnp.float32(1e9)
+        u = jnp.clip(uv[..., 0], -1e6, 1e6)
+        v = jnp.clip(uv[..., 1], -1e6, 1e6)
+        ut = _to_tiles(jnp.where(ok, u, big), Ht, Wt_live)
+        vt = _to_tiles(jnp.where(ok, v, big), Ht, Wt_live)
+        u_min = jnp.min(ut, axis=1)
+        v_min = jnp.min(vt, axis=1)
+        # Center the slack: the window covers [v0, v0+32) rows while the
+        # tile itself spans 8; start a few rows above the min.
+        v0 = jnp.clip(
+            jnp.floor(v_min).astype(jnp.int32) - 8, 0,
+            self.Hp - _AP_ROWS,
+        )
+        k0 = jnp.clip(
+            (jnp.floor(u_min).astype(jnp.int32) - 16) // 32, 0,
+            self.Wt - _AP_TILES,
+        )
+        self.windows = (v0, k0)
+
+        dy = jnp.arange(_AP_ROWS, dtype=jnp.int32)
+        dx = jnp.arange(_AP_TILES, dtype=jnp.int32)
+        rid = (
+            (v0[:, None, None] + dy[None, :, None]) * self.Wt
+            + k0[:, None, None] + dx[None, None, :]
+        )                                           # (T, 32, 3)
+        T = rid.shape[0]
+        off = self.Hp * self.Wt
+        rids = jnp.stack(
+            [rid + k * off for k in range(3)], axis=0
+        ).reshape(-1)                               # 3 maps x T*96 rows
+        rows = self.tiles[rids].reshape(3, T, _AP_ROWS, _AP_TILES, 32)
+        patch = rows.transpose(1, 2, 3, 4, 0).reshape(T, _AP_P, 3)
+        # Six exact-in-f32 value columns: hi/lo 16-bit halves per map.
+        hi = ((patch >> 16) & 0xFFFF).astype(jnp.float32)
+        lo = (patch & 0xFFFF).astype(jnp.float32)
+        self.rhs = jnp.concatenate([hi, lo], axis=-1)  # (T, P, 6)
+        return self
+
+    def gather(self, uv, ok, Ht, Wt_live, Hs, Ws):
+        """One-hot gather of (v_m, n_m, ok_m) at this round's warp."""
+        v0, k0 = self.windows
+        u = jnp.clip(uv[..., 0], -1e6, 1e6)
+        v = jnp.clip(uv[..., 1], -1e6, 1e6)
+        u_m = jnp.round(u).astype(jnp.int32)
+        v_m = jnp.round(v).astype(jnp.int32)
+        inb = (
+            (u_m >= 0) & (u_m < self.Wm) & (v_m >= 0) & (v_m < self.Hm)
+        )
+        ut = _to_tiles(u_m, Ht, Wt_live)
+        vt = _to_tiles(v_m, Ht, Wt_live)
+        okt = _to_tiles(ok & inb, Ht, Wt_live)
+        pu = ut - k0[:, None] * 32
+        pv = vt - v0[:, None]
+        inpatch = (
+            (pu >= 0) & (pu < _AP_TILES * 32)
+            & (pv >= 0) & (pv < _AP_ROWS) & okt
+        )
+        pidx = jnp.where(inpatch, pv * (_AP_TILES * 32) + pu, -1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _AP_P), 2)
+        onehot = (pidx[:, :, None] == iota).astype(jnp.float32)
+        # Precision.HIGHEST is MANDATORY: the TPU default runs f32 dots
+        # as single bf16 MXU passes, truncating the 16-bit halves (this
+        # exact failure collapsed tracking to ~2 inliers on TPU while
+        # every CPU equivalence test passed).
+        vals = jax.lax.dot_general(
+            onehot, self.rhs,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=Precision.HIGHEST,
+        )                                           # (T, 256, 6)
+        hi = vals[..., 0:3].astype(jnp.int32)
+        lo = vals[..., 3:6].astype(jnp.int32)
+        packed = (hi << 16) | lo                    # (T, 256, 3)
+        out = _from_tiles(packed, Ht, Wt_live, Hs, Ws)
+        p1, p2, npack = out[..., 0], out[..., 1], out[..., 2]
+        mvx, mvy, mvz = _unpack_vertices(p1, p2, self.model.origin)
+        nx, ny, nz, okn = _unpack_normals(npack)
+        ok_full = _from_tiles(
+            inpatch[..., None], Ht, Wt_live, Hs, Ws
+        )[..., 0]
+        v_mv = jnp.stack([mvx, mvy, mvz], axis=-1)
+        n_mv = jnp.stack([nx, ny, nz], axis=-1)
+        return v_mv, n_mv, ok_full & okn
+
+
+def _warp_uv(live: FrameMaps, model: ModelMaps, pose: SE3, config: Config):
+    """Shared warp half of association; returns (uv, base_ok)."""
+    v_w = pose.apply(live.vertices)
+    p_m = model.world_to_cam.apply(v_w)
+    uv = model.camera.project(p_m)
+    ok = (
+        (live.depth > config.depth_min)
+        & (live.depth < config.depth_max)
+        & (p_m[..., 2] > 0.0)
+    )
+    return uv, ok
+
+
+def associate_depth_patched(
+    live: FrameMaps, model: ModelMaps, pose: SE3, config: Config,
+    assoc: _PatchAssoc,
+):
+    """Patch/one-hot projective association (see _PatchAssoc)."""
+    uv, ok = _warp_uv(live, model, pose, config)
+    Hs, Ws = uv.shape[:2]
+    Ht = -(-Hs // _AT_H)
+    Wt_live = -(-Ws // _AT_W)
+    uvp = jnp.pad(
+        uv, ((0, Ht * _AT_H - Hs), (0, Wt_live * _AT_W - Ws), (0, 0))
+    )
+    okp = _pad_to(ok, Ht * _AT_H, Wt_live * _AT_W, False)
+    if assoc.windows is None:
+        assoc.freeze_windows(uvp, okp, Ht, Wt_live)
+    v_m, n_m, ok_m = assoc.gather(uvp, okp, Ht, Wt_live, Hs, Ws)
+    return v_m, n_m, ok_m & ok
 
 
 def depth_rows_fixed(
@@ -465,6 +694,8 @@ def track(
 
     err = jnp.zeros(())
     inl = jnp.zeros(())
+    lvl_err = [jnp.zeros(())] * config.pyramid_levels
+    lvl_inl = [jnp.zeros(())] * config.pyramid_levels
     for level in range(config.pyramid_levels - 1, -1, -1):
         live = live_pyramid[level]
         model = model_pyr[level]
@@ -498,8 +729,24 @@ def track(
             rounds = max(1, min(config.icp_assoc[level], iters))
             inner = -(-iters // rounds)  # ceil
 
+            # Patch/one-hot association on every level but the coarsest
+            # (which absorbs the large global warp with flat gathers).
+            use_patch = level < config.pyramid_levels - 1 and (
+                config.assoc_patch == "on"
+                or (
+                    config.assoc_patch == "auto"
+                    and jax.default_backend() == "tpu"
+                )
+            )
+            assoc_state = _PatchAssoc(model) if use_patch else None
+
             for _round in range(rounds):
-                v_m, n_m, ok = associate_depth(live, model, pose, config)
+                if use_patch:
+                    v_m, n_m, ok = associate_depth_patched(
+                        live, model, pose, config, assoc_state
+                    )
+                else:
+                    v_m, n_m, ok = associate_depth(live, model, pose, config)
 
                 def body_fixed(_, carry, v_m=v_m, n_m=n_m, ok=ok):
                     pose, err, inl = carry
@@ -515,6 +762,7 @@ def track(
                 pose, err, inl = jax.lax.fori_loop(
                     0, inner, body_fixed, (pose, err, inl)
                 )
+            lvl_err[level], lvl_inl[level] = jnp.sqrt(err), inl
             continue
 
         def body(_, carry):
@@ -530,10 +778,33 @@ def track(
         pose, err, inl = jax.lax.fori_loop(
             0, iters, body, (pose, err, inl)
         )
+        lvl_err[level], lvl_inl[level] = jnp.sqrt(err), inl
+
+    level_inliers = jnp.stack(lvl_inl).astype(jnp.int32)
+    # Per-level inlier floors: a level operating on 4^level fewer pixels
+    # (and the finest on stride^2 fewer) needs proportionally fewer
+    # inliers -- but a STARVED or diverged coarse level (near-zero
+    # associations) must invalidate the whole track even if the finest
+    # level later "re-converged" onto wrong geometry (round-1 weak 4 /
+    # round-2 weak 1: health came only from the finest level).
+    floors = []
+    strides_cfg = config.icp_stride
+    if isinstance(strides_cfg, int):
+        strides_cfg = (strides_cfg,) + (1,) * (config.pyramid_levels - 1)
+    for level in range(config.pyramid_levels):
+        # Available pixels at this level relative to the finest:
+        # 1/(4^level) of the image at 1/stride^2 sampling.
+        rel = strides_cfg[0] ** 2 / (4 ** level * strides_cfg[level] ** 2)
+        floors.append(max(6, int(config.icp_min_inliers * rel)))
+    levels_ok = jnp.all(
+        level_inliers >= jnp.asarray(floors, jnp.int32)
+    )
 
     return TrackResult(
         pose=pose,
         error=jnp.sqrt(err),
         inliers=inl.astype(jnp.int32),
-        valid=inl >= float(config.icp_min_inliers),
+        valid=(inl >= float(config.icp_min_inliers)) & levels_ok,
+        level_error=jnp.stack(lvl_err),
+        level_inliers=level_inliers,
     )

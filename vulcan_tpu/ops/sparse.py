@@ -57,8 +57,166 @@ def _unpack_depth_color(packed: jax.Array, config: Config):
     return d, jnp.stack([r, g, b], axis=-1)
 
 
-def _integrate_batch(volume, frame, packed_dc, ids, row_valid, config):
-    """Fuse one chunk of blocks; returns updated voxel arrays (C, 512)."""
+# ---------------------------------------------------------------------------
+# One-hot MXU patch gather (the TPU path)
+# ---------------------------------------------------------------------------
+#
+# Measured on the v5e (tools/bench_patch_gather.py): flat per-element
+# image gathers run at ~142M lanes/s -- integrate's 1.6M lanes cost
+# ~11 ms/frame and were the stage's floor.  But one block's 512 voxels
+# project into a COMPACT image patch, and a gather from a small
+# per-block table can run on the MXU instead: build a (512, P) one-hot
+# of patch-local pixel indices and matmul it with the patch values --
+# XLA fuses the one-hot generation into the matmul, so nothing huge
+# materializes and the same 1.6M lanes cost ~1.4 ms (8x).  Multiple
+# value channels ride the SAME one-hot as extra rhs columns for free.
+#
+# The patch for a block is selected from a per-block MIP level so its
+# projection always fits 32 x 64 patch pixels: stride 2^L keeps the
+# sampling step at most ~1/4 of a voxel's projected footprint, so mip
+# sampling stays sub-voxel accurate at every depth.  Patches are
+# extracted as plain row gathers from statically tiled (rows, 32) mip
+# images (contiguous 128-byte DMAs; lax.gather with dynamic slices
+# compiles pathologically and was abandoned -- see the bench tool).
+
+_MIP_LEVELS = 5           # strides 1, 2, 4, 8, 16
+_TILE_W = 32              # lane-width tiles of every mip row
+_PATCH_ROWS = 32
+_PATCH_TILES = 2          # patch = 32 rows x 2 column tiles = 32 x 64 px
+_PATCH_P = _PATCH_ROWS * _PATCH_TILES * _TILE_W  # 2048
+
+
+def _mip_meta(height: int, width: int):
+    """Static (offset, width_tiles, padded_h) per mip level."""
+    meta = []
+    off = 0
+    for level in range(_MIP_LEVELS):
+        h = -(-height // (1 << level))
+        w = -(-width // (1 << level))
+        wt = max(-(-w // _TILE_W), _PATCH_TILES)
+        hp = max(h, _PATCH_ROWS)
+        meta.append((off, wt, hp, h, w))
+        off += hp * wt
+    return meta, off
+
+
+def _build_mip_tiles(packed: jax.Array):
+    """(H, W) int32 -> ((total_rows, 32) int32 tile stack, static meta).
+
+    Level L is the [::2^L, ::2^L] nearest subsample (a real sensor
+    sample, no averaging of packed values), zero-padded to the tile
+    grid; packed 0 decodes to depth 0 = invalid, so padding is inert.
+    """
+    h, w = packed.shape
+    meta, total = _mip_meta(h, w)
+    parts = []
+    for level, (off, wt, hp, hl, wl) in enumerate(meta):
+        m = packed[:: 1 << level, :: 1 << level]
+        m = jnp.pad(m, ((0, hp - hl), (0, wt * _TILE_W - wl)))
+        parts.append(m.reshape(hp * wt, _TILE_W))
+    return jnp.concatenate(parts, axis=0), meta
+
+
+def _patch_gather_depth_color(uv, z_cam, mip_tiles, mip_meta, config):
+    """Per-block patched image sampling via one-hot MXU matmuls.
+
+    uv: (C, 512, 2) full-res pixel coords of every voxel; returns
+    (depth (C,512), color (C,512,3), sampled_ok (C,512)).
+    """
+    C = uv.shape[0]
+    # Clip before any int32 conversion: voxels at z ~ 0 project to huge
+    # coordinates (they are masked later, but the intermediate int cast
+    # must not overflow).
+    u = jnp.clip(uv[..., 0], -1e7, 1e7)
+    v = jnp.clip(uv[..., 1], -1e7, 1e7)
+    front = z_cam > 1e-6
+    big = jnp.float32(1e9)
+    u_min = jnp.min(jnp.where(front, u, big), axis=1)      # (C,)
+    u_max = jnp.max(jnp.where(front, u, -big), axis=1)
+    v_min = jnp.min(jnp.where(front, v, big), axis=1)
+    v_max = jnp.max(jnp.where(front, v, -big), axis=1)
+    extent = jnp.maximum(u_max - u_min, v_max - v_min)
+    extent = jnp.where(jnp.isfinite(extent), extent, big)
+
+    # Smallest mip whose 31-px budget covers the extent.
+    lvl = jnp.zeros((C,), jnp.int32)
+    for level in range(1, _MIP_LEVELS):
+        lvl = jnp.where(extent > 31.0 * (1 << (level - 1)), level, lvl)
+    inv = jnp.exp2(-lvl.astype(jnp.float32))               # (C,)
+
+    # Per-level static tables, gathered by lvl (tiny C-sized gathers).
+    offs = jnp.asarray([m[0] for m in mip_meta], jnp.int32)[lvl]
+    wts = jnp.asarray([m[1] for m in mip_meta], jnp.int32)[lvl]
+    hps = jnp.asarray([m[2] for m in mip_meta], jnp.int32)[lvl]
+
+    # Patch origin on the mip grid (tile-snapped columns).
+    u0m = jnp.floor(u_min * inv).astype(jnp.int32)
+    v0 = jnp.clip(
+        jnp.floor(v_min * inv).astype(jnp.int32), 0, hps - _PATCH_ROWS
+    )
+    k0 = jnp.clip(u0m // _TILE_W, 0, wts - _PATCH_TILES)
+
+    # Row ids of the patch: (C, 32 rows, 2 tiles).
+    dy = jnp.arange(_PATCH_ROWS, dtype=jnp.int32)
+    dx = jnp.arange(_PATCH_TILES, dtype=jnp.int32)
+    rid = (
+        offs[:, None, None]
+        + (v0[:, None, None] + dy[None, :, None]) * wts[:, None, None]
+        + k0[:, None, None]
+        + dx[None, None, :]
+    )
+    patch = mip_tiles[rid.reshape(-1)].reshape(
+        C, _PATCH_ROWS, _PATCH_TILES, _TILE_W
+    ).reshape(C, _PATCH_P)                                 # (C, 2048)
+
+    # Patch-local index of every voxel's nearest mip sample.
+    u_m = jnp.round(u * inv[:, None]).astype(jnp.int32)
+    v_m = jnp.round(v * inv[:, None]).astype(jnp.int32)
+    pu = u_m - k0[:, None] * _TILE_W
+    pv = v_m - v0[:, None]
+    inpatch = (
+        (pu >= 0) & (pu < _PATCH_TILES * _TILE_W)
+        & (pv >= 0) & (pv < _PATCH_ROWS)
+        & front
+    )
+    pidx = jnp.where(inpatch, pv * (_PATCH_TILES * _TILE_W) + pu, -1)
+
+    # One one-hot, two value columns (d16 and rgb565 are < 2^16, exact
+    # in f32).  XLA fuses the one-hot build into the matmul.
+    rhs = jnp.stack(
+        [
+            ((patch >> 16) & 0xFFFF).astype(jnp.float32),
+            (patch & 0xFFFF).astype(jnp.float32),
+        ],
+        axis=-1,
+    )                                                      # (C, P, 2)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _PATCH_P), 2)
+    onehot = (pidx[:, :, None] == iota).astype(jnp.float32)
+    # Precision.HIGHEST is MANDATORY: the TPU default runs f32 dots as
+    # single bf16 MXU passes (8-bit mantissa), silently truncating the
+    # 16-bit integer value columns.  CPU f32 dots are exact either way,
+    # so only the HIGHEST path keeps TPU == CPU == exact.
+    vals = jax.lax.dot_general(
+        onehot, rhs,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                      # (C, 512, 2)
+    d16 = vals[..., 0]
+    c565 = vals[..., 1].astype(jnp.int32)
+    depth = d16 * (1.0 / config.depth_raw_scale)
+    r = ((c565 >> 11) & 0x1F).astype(jnp.float32) * (1.0 / 31.0)
+    g = ((c565 >> 5) & 0x3F).astype(jnp.float32) * (1.0 / 63.0)
+    b = (c565 & 0x1F).astype(jnp.float32) * (1.0 / 31.0)
+    return depth, jnp.stack([r, g, b], axis=-1), inpatch
+
+
+def _integrate_batch(volume, frame, packed_img, ids, row_valid, config):
+    """Fuse one chunk of blocks; returns updated voxel arrays (C, 512).
+
+    ``packed_img`` is either the flat (H, W) packed image (flat-gather
+    path) or the (mip_tiles, mip_meta) pair (one-hot MXU path).
+    """
     bs = config.block_size
     vs = config.voxel_size
     coords = volume.block_coords[ids]                     # (C, 3)
@@ -74,8 +232,14 @@ def _integrate_batch(volume, frame, packed_dc, ids, row_valid, config):
     cam_pts = frame.pose.inverse().apply(world)
     z = cam_pts[..., 2]
     uv = frame.camera.project(cam_pts)
-    packed, in_bounds = _sample_nearest(packed_dc, uv)
-    depth, color = _unpack_depth_color(packed, config)
+    if isinstance(packed_img, tuple):
+        mip_tiles, mip_meta = packed_img
+        depth, color, in_bounds = _patch_gather_depth_color(
+            uv, z, mip_tiles, mip_meta, config
+        )
+    else:
+        packed, in_bounds = _sample_nearest(packed_img, uv)
+        depth, color = _unpack_depth_color(packed, config)
     valid = (
         row_valid[:, None]
         & in_bounds
@@ -91,7 +255,15 @@ def _integrate_batch(volume, frame, packed_dc, ids, row_valid, config):
     tsdf, weight, col, cweight = voxel_update(
         tsdf, weight, col, cweight, sdf, color, valid, config
     )
-    return tsdf, weight, B.pack_voxel_color(col, cweight)
+    # Refresh the persistent surfel lists of exactly the rows whose TSDF
+    # this chunk changed (see VolumeState.surfpack).
+    surf, surf_count, dropped = B.pack_surfels(
+        tsdf, weight, B.surfel_band(config), config.surfel_slots
+    )
+    return (
+        tsdf, weight, B.pack_voxel_color(col, cweight),
+        surf, surf_count, jnp.sum(dropped),
+    )
 
 
 def integrate_sparse(
@@ -120,6 +292,18 @@ def integrate_sparse(
     n_chunks_needed = (work_count + C - 1) // C
     nb = volume.tsdf.shape[0]
     packed_dc = _pack_depth_color(frame.depth, frame.color, config)
+    mode = config.integrate_gather
+    if mode == "auto":
+        mode = "onehot" if jax.default_backend() == "tpu" else "flat"
+    if mode == "onehot":
+        packed_dc = _build_mip_tiles(packed_dc)
+
+    # surf_overflow is a per-frame GAUGE (how many surfels this frame's
+    # slot capacity dropped -- a hole-fill burden indicator, not an
+    # error), so it resets here rather than accumulating forever.
+    volume = dataclasses.replace(
+        volume, surf_overflow=jnp.asarray(0, jnp.int32)
+    )
 
     def cond(carry):
         i, _ = carry
@@ -132,7 +316,7 @@ def integrate_sparse(
         row_valid = (
             (start + jnp.arange(C, dtype=jnp.int32)) < work_count
         ) & (ids > 0)
-        tsdf, weight, cpack = _integrate_batch(
+        tsdf, weight, cpack, surf, s_count, s_drop = _integrate_batch(
             vol, frame, packed_dc, ids, row_valid, config
         )
         tgt = jnp.where(row_valid, ids, nb)               # drop masked rows
@@ -141,6 +325,9 @@ def integrate_sparse(
             tsdf=vol.tsdf.at[tgt].set(tsdf, mode="drop"),
             weight=vol.weight.at[tgt].set(weight, mode="drop"),
             colorpack=vol.colorpack.at[tgt].set(cpack, mode="drop"),
+            surfpack=vol.surfpack.at[tgt].set(surf, mode="drop"),
+            surf_count=vol.surf_count.at[tgt].set(s_count, mode="drop"),
+            surf_overflow=(vol.surf_overflow + s_drop).astype(jnp.int32),
         )
         return i + 1, vol
 

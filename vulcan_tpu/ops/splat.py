@@ -44,12 +44,9 @@ from .raycast import Render, _cross_normals_axes
 
 
 def _splat_band(config: Config) -> float:
-    """|tsdf| gate (mu units) for voxel surfels: wide enough for a
-    continuous >=1.5-voxel shell, tight enough to stay linear."""
-    return min(
-        1.0,
-        max(config.splat_band, 1.5 * config.voxel_size / config.trunc_dist),
-    )
+    """|tsdf| gate (mu units) for voxel surfels (shared definition in
+    blocks.surfel_band -- integrate-time surfel maintenance must agree)."""
+    return B.surfel_band(config)
 
 
 def _surface_block_list(volume: B.VolumeState, config: Config):
@@ -76,6 +73,120 @@ def _surface_block_list(volume: B.VolumeState, config: Config):
 
     n_surf = jnp.sum(has_surf).astype(jnp.int32)
     return compact_mask(has_surf, ids, V, jnp.int32(0)), n_surf
+
+
+def _surfel_block_list(volume: B.VolumeState, config: Config):
+    """Visible blocks with a nonempty persistent surfel list.
+
+    Replaces the dense tsdf-row pass of ``_surface_block_list`` on the
+    surfel path: the per-block counts are maintained by integration, so
+    this is one (V,) gather + a prefix-sum compaction."""
+    ids = volume.visible_ids
+    V = ids.shape[0]
+    rowv = (jnp.arange(V, dtype=jnp.int32) < volume.num_visible) & (ids > 0)
+    has_surf = rowv & (volume.surf_count[ids] > 0)
+    from .allocate import compact_mask
+
+    n_surf = jnp.sum(has_surf).astype(jnp.int32)
+    return compact_mask(has_surf, ids, V, jnp.int32(0)), n_surf
+
+
+def _splat_zbuf_surfels(
+    volume: B.VolumeState,
+    camera: PinholeCamera,
+    pose: SE3,
+    height: int,
+    width: int,
+    config: Config,
+):
+    """Z-buffer from the persistent per-block surfel lists.
+
+    Identical projective-TSDF surfel model to ``_splat_zbuf_direct``
+    (z_surf = z_voxel + tsdf * mu on the voxel's own ray), but the
+    scatter runs over the COMPACTED surfel rows maintained by
+    integration: ~4x fewer scatter lanes at the measured ~140M lanes/s,
+    and no per-frame dense row pass to find them.
+    """
+    vs = config.voxel_size
+    mu = config.trunc_dist
+    S = config.surfel_slots
+    w2c = pose.inverse()
+    R = w2c.rotation
+    tr = w2c.translation
+
+    render_ids, n_surf = _surfel_block_list(volume, config)
+    V = render_ids.shape[0]
+
+    zbuf0 = jnp.full((height * width,), jnp.inf, jnp.float32)
+
+    def scatter_tier(zbuf, ids_list, n_list, s_lo, s_hi, chunk):
+        """Scatter surfel slots [s_lo, s_hi) of the listed blocks."""
+        C = min(chunk, ids_list.shape[0])
+        n_chunks = (n_list + C - 1) // C
+
+        def body(carry):
+            i, zbuf = carry
+            start = i * C
+            ids = jax.lax.dynamic_slice_in_dim(ids_list, start, C)
+            rv = (
+                (start + jnp.arange(C, dtype=jnp.int32)) < n_list
+            ) & (ids > 0)
+            rows = volume.surfpack[ids, s_lo:s_hi]               # (C, s)
+            lidx, t, valid = B.unpack_surfels(rows)
+            valid = valid & rv[:, None]
+            coords = volume.block_coords[ids]                    # (C, 3)
+
+            lx = (lidx // 64).astype(jnp.float32)
+            ly = ((lidx // 8) % 8).astype(jnp.float32)
+            lz = (lidx % 8).astype(jnp.float32)
+            wx = (coords[:, 0:1].astype(jnp.float32) * 8 + lx) * vs
+            wy = (coords[:, 1:2].astype(jnp.float32) * 8 + ly) * vs
+            wz = (coords[:, 2:3].astype(jnp.float32) * 8 + lz) * vs
+            cx = R[0, 0] * wx + R[0, 1] * wy + R[0, 2] * wz + tr[0]
+            cy = R[1, 0] * wx + R[1, 1] * wy + R[1, 2] * wz + tr[1]
+            cz = R[2, 0] * wx + R[2, 1] * wy + R[2, 2] * wz + tr[2]
+
+            z_surf = cz + t * mu
+            zok = (
+                valid
+                & (z_surf > config.ray_near)
+                & (z_surf < config.ray_far)
+                & (cz > 1e-6)
+            )
+            zc = jnp.maximum(cz, 1e-6)
+            u = jnp.round(
+                camera.fx * cx / zc + camera.cx
+            ).astype(jnp.int32)
+            v = jnp.round(
+                camera.fy * cy / zc + camera.cy
+            ).astype(jnp.int32)
+            inb = (u >= 0) & (u < width) & (v >= 0) & (v < height) & zok
+            pix = jnp.where(inb, v * width + u, height * width)
+            zbuf = zbuf.at[pix.reshape(-1)].min(
+                jnp.where(inb, z_surf, jnp.inf).reshape(-1), mode="drop"
+            )
+            return i + 1, zbuf
+
+        return jax.lax.while_loop(
+            lambda c: c[0] < n_chunks, body,
+            (jnp.asarray(0, jnp.int32), zbuf),
+        )[1]
+
+    # Two-tier scatter: scatter lanes are paid for masked slots too, and
+    # most blocks fill well under half their surfel slots -- so tier 1
+    # covers slots [0, S/2) of EVERY surface block and tier 2 only the
+    # few blocks that overflow into [S/2, S).
+    s1 = S // 2
+    from .allocate import compact_mask
+
+    full = volume.surf_count[render_ids] > s1
+    rowv = (jnp.arange(V, dtype=jnp.int32) < n_surf) & full
+    ids2 = compact_mask(rowv, render_ids, V, jnp.int32(0))
+    n2 = jnp.sum(rowv).astype(jnp.int32)
+
+    zbuf = scatter_tier(zbuf0, render_ids, n_surf, 0, s1, 2048)
+    zbuf = scatter_tier(zbuf, ids2, n2, s1, S, 512)
+    return zbuf
 
 
 def _splat_zbuf_direct(
@@ -331,11 +442,19 @@ def _fill_and_smooth(d, config: Config):
     round-trips HBM between shift fusions -- tools/bench_pallas_stencil),
     plain XLA on CPU (tests) or when the image exceeds VMEM."""
     h, w = d.shape
-    if jax.default_backend() == "cpu" or h * w * 4 > 8 * 1024 * 1024:
+    if jax.default_backend() != "tpu" or h * w * 4 > 8 * 1024 * 1024:
         return _fill_smooth_math(d, config)
+    return _fill_smooth_pallas(d, config)
 
+
+def _fill_smooth_pallas(d, config: Config, interpret=False):
+    """The VMEM-resident Pallas lowering of ``_fill_smooth_math``.
+    ``interpret=True`` runs the kernel body in the Pallas interpreter so
+    CPU tests exercise the same code the TPU compiles."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    h, w = d.shape
 
     def kernel(d_ref, out_ref):
         out_ref[:] = _fill_smooth_math(d_ref[:], config)
@@ -345,6 +464,7 @@ def _fill_and_smooth(d, config: Config):
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(d)
 
 
@@ -372,6 +492,10 @@ def render_splat(
             cache = RC.build(volume, config)
         zbuf = _splat_zbuf_cached(
             volume, cache, camera, pose, height, width, config
+        )
+    elif config.splat_source == "surfels":
+        zbuf = _splat_zbuf_surfels(
+            volume, camera, pose, height, width, config
         )
     else:
         zbuf = _splat_zbuf_direct(

@@ -11,11 +11,17 @@ collectives over ICI):
     (bilateral window, normal cross products, pyramid pooling) and a psum
     for the ICP 6x6 reduction -- exactly the collectives a hand-written
     multi-GPU KinectFusion would issue.
-  * **The volume is replicated.**  Per-frame integration touches only the
-    visible blocks, so replicated integration costs a small fraction of
-    the pixel work it saves from communication; the raycast's random-access
-    hash gathers then stay chip-local.  (A block-sharded volume would turn
-    every march step into an all-gather over ICI.)
+  * **The volume is replicated.**  The REASONED trade (unmeasured on real
+    multi-chip hardware -- none exists in this environment): replicating
+    per-block integration duplicates work that is a modest share of the
+    frame, while keeping the renderer's random-access volume gathers
+    chip-local; a block-sharded volume would turn every sample into an
+    all-gather over ICI.  The only measurement possible here
+    (tools/bench_multichip.py, 8 virtual devices on ONE physical CPU
+    core) shows the sharded program executing correctly but 3.9x slower
+    end-to-end than single-device -- that number characterizes
+    virtual-device emulation overhead, not ICI scaling, and no scaling
+    claim is made beyond "compiles and runs with the intended shardings".
   * The pose update is a pure function of the psum'd 6x6 system, so every
     chip computes the identical pose -- no broadcast needed.
 

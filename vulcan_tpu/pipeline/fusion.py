@@ -46,10 +46,14 @@ class PipelineState:
 
     volume: B.VolumeState
     model: raycast.Render      # last rendered model maps (pose = current)
+    prev_pose: SE3             # pose of the frame BEFORE model.pose's
+                               # (constant-velocity tracker init)
     frame_idx: jax.Array       # () int32
     track_error: jax.Array     # () f32, last ICP robust rms
     track_inliers: jax.Array   # () int32
     track_failures: jax.Array  # () int32, frames skipped by the fusion gate
+    track_level_error: jax.Array    # (levels,) per-level robust rms
+    track_level_inliers: jax.Array  # (levels,) int32
 
     @property
     def pose(self) -> SE3:
@@ -76,10 +80,13 @@ def init_state(
     state = PipelineState(
         volume=B.create_volume(config),
         model=empty,
+        prev_pose=pose,
         frame_idx=jnp.asarray(0, jnp.int32),
         track_error=jnp.asarray(0.0, jnp.float32),
         track_inliers=jnp.asarray(0, jnp.int32),
         track_failures=jnp.asarray(0, jnp.int32),
+        track_level_error=jnp.zeros((config.pyramid_levels,), jnp.float32),
+        track_level_inliers=jnp.zeros((config.pyramid_levels,), jnp.int32),
     )
     # Deep-copy every leaf: jax caches small constants, so identical zeros
     # would alias one buffer and `donate_argnames` would see the same
@@ -116,6 +123,32 @@ def _fuse_and_render(
     return volume, render
 
 
+def predict_pose(state: PipelineState, config: Config) -> SE3:
+    """DAMPED constant-velocity tracker initialization.
+
+    Extrapolates a fraction ``a = motion_prediction`` of the last
+    inter-frame motion: ``init = exp(a * log(pose @ prev_pose^-1)) @
+    pose``.  Damping is a STABILITY requirement, not a tuning nicety:
+    the tracked pose feeds the next prediction, so with per-frame ICP
+    error gain k (fraction of init error surviving refinement) the
+    error obeys e_{t+1} = k((1+a) e_t - a e_{t-1}).  Pure extrapolation
+    (a=1) is unstable as k -> 1 -- on the 640x480 orbit bench the
+    weakly-observable pose modes (sliding along the floor/spheres) have
+    k near 1, and a=1 blew up at the predicted ~2x/frame rate into
+    tracking collapse at frame ~13 (round-3 bisect).  a <= 0.5 keeps
+    both roots inside the unit circle for every k < 1 while still
+    halving the motion the coarse level must recover.
+    Identity-safe: frame 0 and gate-held frames have prev_pose == pose.
+    """
+    a = float(config.motion_prediction)
+    if a == 0.0:
+        return state.pose
+    delta = state.pose @ state.prev_pose.inverse()
+    if a != 1.0:
+        delta = SE3.exp(a * delta.log())
+    return delta @ state.pose
+
+
 def _to_metric(depth, color, config):
     """Accept raw sensor dtypes and convert ON DEVICE: uint16 depth (TUM
     1/depth_raw_scale meters) and uint8 color upload 3.2x less data than
@@ -132,6 +165,34 @@ def _to_metric(depth, color, config):
     static_argnames=("config", "mode"),
     donate_argnames=("state",),
 )
+def step_seq(
+    state: PipelineState,
+    depths: jax.Array,
+    colors: jax.Array,
+    config: Config,
+    mode: str = "depth",
+) -> PipelineState:
+    """Process a short frame SEQUENCE (k, H, W[,3]) in one dispatch.
+
+    Identical per-frame math to ``step`` (a lax.scan of it), but one
+    host->device dispatch per k frames: the tunnel's per-dispatch
+    latency (~several ms) is a real throughput cost at 30+ FPS, and a
+    streaming pipeline naturally has the next frames in flight.
+    """
+
+    def body(st, dc):
+        d, c = dc
+        return _step_impl(st, d, c, config, mode), None
+
+    state, _ = jax.lax.scan(body, state, (depths, colors))
+    return state
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "mode"),
+    donate_argnames=("state",),
+)
 def step(
     state: PipelineState,
     depth: jax.Array,
@@ -140,6 +201,16 @@ def step(
     mode: str = "depth",
 ) -> PipelineState:
     """One online frame: track, fuse, raycast.  Fully on device."""
+    return _step_impl(state, depth, color, config, mode)
+
+
+def _step_impl(
+    state: PipelineState,
+    depth: jax.Array,
+    color: jax.Array,
+    config: Config,
+    mode: str = "depth",
+) -> PipelineState:
     depth, color = _to_metric(depth, color, config)
     h, w = depth.shape
     camera = state.model.camera
@@ -153,13 +224,19 @@ def step(
             error=jnp.zeros(()),
             inliers=jnp.asarray(10**6, jnp.int32),
             valid=jnp.asarray(True),
+            level_error=jnp.zeros((config.pyramid_levels,), jnp.float32),
+            level_inliers=jnp.full(
+                (config.pyramid_levels,), 10**6, jnp.int32
+            ),
         )
     else:
         model_pyr = icp.model_pyramid(
             state.model, config.pyramid_levels,
             with_intensity=(mode != "depth"),
         )
-        result = icp.track(live_pyr, model_pyr, state.pose, config, mode)
+        result = icp.track(
+            live_pyr, model_pyr, predict_pose(state, config), config, mode
+        )
 
     # --- fusion gate (InfiniTAM-style tracking-quality gating) ----------
     # A diverged or starved track (occlusion, blur, all-invalid depth)
@@ -172,8 +249,15 @@ def step(
     # donation aliasing and copies the hash table + volume every frame.)
     # Frame 0 (and any empty model) bypasses the gate: nothing to track.
     model_empty = ~jnp.any(state.model.valid)
+    # Coarse-level sanity: a track that diverged at a coarse level and
+    # "re-converged" onto wrong geometry at the finest reports a healthy
+    # finest error; its coarse levels do not.  3x headroom over the
+    # finest threshold accounts for the naturally larger coarse rms.
+    levels_sane = jnp.all(
+        result.level_error < 3.0 * config.icp_max_error
+    )
     trusted = model_empty | (
-        result.valid & (result.error < config.icp_max_error)
+        result.valid & (result.error < config.icp_max_error) & levels_sane
     )
     pose = jax.tree_util.tree_map(
         lambda a, b: jnp.where(trusted, a, b), result.pose, state.pose
@@ -192,10 +276,13 @@ def step(
         state,
         volume=volume,
         model=render if render is not None else state.model,
+        prev_pose=state.pose,
         frame_idx=state.frame_idx + 1,
         track_error=result.error,
         track_inliers=result.inliers,
         track_failures=state.track_failures + (1 - trusted.astype(jnp.int32)),
+        track_level_error=result.level_error,
+        track_level_inliers=result.level_inliers,
     )
 
 
@@ -225,5 +312,6 @@ def step_known_pose(
         state,
         volume=volume,
         model=render,
+        prev_pose=state.pose,
         frame_idx=state.frame_idx + 1,
     )

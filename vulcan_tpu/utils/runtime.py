@@ -13,9 +13,17 @@ _DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__
 
 
 def setup_cache(cache_dir: str | None = None) -> None:
+    """Enable the persistent compilation cache.
+
+    ``VULCAN_TPU_CACHE=""`` (empty) DISABLES it: the CPU test suite must
+    run cache-less -- this platform's patched cache machinery segfaulted
+    deserializing its own freshly written CPU entries (3x, round 3), and
+    CPU compiles are cheap anyway."""
     import jax
 
     cache_dir = cache_dir or os.environ.get("VULCAN_TPU_CACHE", _DEFAULT_CACHE)
+    if not cache_dir:
+        return
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
