@@ -115,32 +115,69 @@ def pack_surfels(tsdf_rows, weight_rows, band: float, slots: int):
     """Rows (C, 512) -> compacted surfel rows (C, slots) + counts.
 
     A voxel is a surfel iff observed and |tsdf| < band.  Packed value
-    (25 bits, < EMPTY_SURFEL)::
+    (24 bits, < EMPTY_SURFEL)::
 
         |tsdf|_q14 << 10 | sign(tsdf) << 9 | lidx
 
-    and each row is sorted ascending, so the kept prefix holds the
-    voxels CLOSEST TO THE SURFACE: when a block's shell exceeds
-    ``slots`` (an axis-aligned plane's shell is 8x8x3 = 192 voxels --
-    exactly the default budget -- and oblique shells run thicker),
-    overflow sheds only outer-shell voxels, never carving coverage
-    holes.  (A first version sorted by lidx; its overflow dropped whole
+    Rows are filled inner-half-band first (|tsdf| < band/2) so that when
+    a block's shell exceeds ``slots`` (an axis-aligned plane's shell is
+    8x8x3 = 192 voxels -- exactly the default budget -- and oblique
+    shells run thicker), overflow sheds only OUTER-shell voxels, never
+    carving coverage holes in the surface-crossing set.  (A first
+    version compacted in plain lidx order; its overflow dropped whole
     +x slabs of every overflowing block, which striped the floor out of
     the rendered model and sent the 640x480 bench into tracking
     collapse at frame ~12.)  Returns (surf (C,slots), count (C,),
     dropped (C,)).
     """
-    lidx = jnp.arange(tsdf_rows.shape[1], dtype=jnp.int32)[None, :]
+    n = tsdf_rows.shape[1]
+    lidx = jnp.arange(n, dtype=jnp.int32)[None, :]
     mag = jnp.clip(
         jnp.round(jnp.abs(tsdf_rows) * 16383.0), 0, 16383
     ).astype(jnp.int32)
     sign = (tsdf_rows < 0.0).astype(jnp.int32)
     live = (jnp.abs(tsdf_rows) < band) & (weight_rows > 0.0)
-    val = jnp.where(live, (mag << 10) | (sign << 9) | lidx, EMPTY_SURFEL)
-    val = jnp.sort(val, axis=1)[:, :slots]
+    val = (mag << 10) | (sign << 9) | lidx                 # 24 bits
+
+    # Two-priority compaction instead of a per-row SORT: a 512-lane
+    # bitonic sort per integrated row was the single hottest op of the
+    # whole frame (~10 ms/frame at 640x480, round-3 trace) while all the
+    # priority actually guarantees is "overflow sheds OUTER-shell voxels
+    # first".  The inner half-band (|tsdf| < band/2, the surface-crossing
+    # voxels; worst-case oblique-plane shell ~8*8*2.6 < slots) is placed
+    # first, the outer half-band after it -- two cumsums -- and the
+    # placement itself is a one-hot matmul (exact: values < 2^24 are
+    # integers, each slot receives exactly one hit, and three 8-bit
+    # value columns survive the MXU's bf16 operand truncation).
+    inner = live & (jnp.abs(tsdf_rows) < 0.5 * band)
+    outer = live & ~inner
+    n_inner = jnp.sum(inner, axis=1, keepdims=True)
+    pos = jnp.where(
+        inner,
+        jnp.cumsum(inner, axis=1) - 1,
+        n_inner + jnp.cumsum(outer, axis=1) - 1,
+    )
+    pos = jnp.where(live & (pos < slots), pos, -1)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, slots), 2)
+    onehot = (pos[:, :, None] == iota).astype(jnp.bfloat16)
+    rhs = jnp.stack(
+        [(val >> 16) & 0xFF, (val >> 8) & 0xFF, val & 0xFF], axis=-1
+    ).astype(jnp.bfloat16)                                 # (C, n, 3)
+    cols = jax.lax.dot_general(
+        onehot, rhs,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)                                    # (C, slots, 3)
+    out = (cols[..., 0] << 16) | (cols[..., 1] << 8) | cols[..., 2]
+
     count = jnp.sum(live, axis=1).astype(jnp.int32)
-    dropped = jnp.maximum(count - slots, 0)
-    return val, jnp.minimum(count, slots), dropped
+    kept = jnp.minimum(count, slots)
+    slot_live = jax.lax.broadcasted_iota(
+        jnp.int32, (1, slots), 1
+    ) < kept[:, None]
+    out = jnp.where(slot_live, out, EMPTY_SURFEL)
+    return out, kept, count - kept
 
 
 def unpack_surfels(surf_rows):

@@ -416,10 +416,19 @@ class _PatchAssoc:
         ).reshape(-1)                               # 3 maps x T*96 rows
         rows = self.tiles[rids].reshape(3, T, _AP_ROWS, _AP_TILES, 32)
         patch = rows.transpose(1, 2, 3, 4, 0).reshape(T, _AP_P, 3)
-        # Six exact-in-f32 value columns: hi/lo 16-bit halves per map.
-        hi = ((patch >> 16) & 0xFFFF).astype(jnp.float32)
-        lo = (patch & 0xFFFF).astype(jnp.float32)
-        self.rhs = jnp.concatenate([hi, lo], axis=-1)  # (T, P, 6)
+        # Twelve 8-BIT value columns (4 bytes per map): byte-sliced
+        # payloads are exact on the single-pass bf16 MXU path, unlike
+        # 16-bit halves which need Precision.HIGHEST (6x the passes) to
+        # survive operand truncation -- see _patch_gather_depth_color.
+        self.rhs = jnp.concatenate(
+            [
+                (patch >> 24) & 0xFF,
+                (patch >> 16) & 0xFF,
+                (patch >> 8) & 0xFF,
+                patch & 0xFF,
+            ],
+            axis=-1,
+        ).astype(jnp.bfloat16)                         # (T, P, 12)
         return self
 
     def gather(self, uv, ok, Ht, Wt_live, Hs, Ws):
@@ -443,20 +452,20 @@ class _PatchAssoc:
         )
         pidx = jnp.where(inpatch, pv * (_AP_TILES * 32) + pu, -1)
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _AP_P), 2)
-        onehot = (pidx[:, :, None] == iota).astype(jnp.float32)
-        # Precision.HIGHEST is MANDATORY: the TPU default runs f32 dots
-        # as single bf16 MXU passes, truncating the 16-bit halves (this
-        # exact failure collapsed tracking to ~2 inliers on TPU while
-        # every CPU equivalence test passed).
+        onehot = (pidx[:, :, None] == iota).astype(jnp.bfloat16)
+        # Single-pass bf16 MXU dot: exact BECAUSE the value columns are
+        # byte-sliced (see freeze_windows).  An earlier 16-bit-half
+        # variant silently truncated on the default bf16 path and
+        # collapsed tracking to ~2 inliers ON TPU ONLY; byte columns
+        # remove the need for the 6x-cost Precision.HIGHEST fix.
         vals = jax.lax.dot_general(
             onehot, self.rhs,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=Precision.HIGHEST,
-        )                                           # (T, 256, 6)
-        hi = vals[..., 0:3].astype(jnp.int32)
-        lo = vals[..., 3:6].astype(jnp.int32)
-        packed = (hi << 16) | lo                    # (T, 256, 3)
+        ).astype(jnp.int32)                         # (T, 256, 12)
+        b0, b1 = vals[..., 0:3], vals[..., 3:6]
+        b2, b3 = vals[..., 6:9], vals[..., 9:12]
+        packed = (b0 << 24) | (b1 << 16) | (b2 << 8) | b3  # (T, 256, 3)
         out = _from_tiles(packed, Ht, Wt_live, Hs, Ws)
         p1, p2, npack = out[..., 0], out[..., 1], out[..., 2]
         mvx, mvy, mvz = _unpack_vertices(p1, p2, self.model.origin)

@@ -181,29 +181,32 @@ def _patch_gather_depth_color(uv, z_cam, mip_tiles, mip_meta, config):
     )
     pidx = jnp.where(inpatch, pv * (_PATCH_TILES * _TILE_W) + pu, -1)
 
-    # One one-hot, two value columns (d16 and rgb565 are < 2^16, exact
-    # in f32).  XLA fuses the one-hot build into the matmul.
+    # One one-hot, four 8-BIT value columns.  Integer payloads wider
+    # than 8 bits cannot ride the MXU's fast path: the TPU default runs
+    # f32 dots as single bf16 passes (8-bit significand), silently
+    # truncating them, and Precision.HIGHEST (exact, 6 passes) measured
+    # ~7 ms/frame here (round-3 trace, fusion.2133).  Byte-sliced
+    # columns are exact in bf16 -- every product is 0/1 x (<= 255) and
+    # each (block, voxel) row hits exactly one patch index -- so the
+    # single-pass bf16 MXU path gives the same bits ~6x faster.
     rhs = jnp.stack(
         [
-            ((patch >> 16) & 0xFFFF).astype(jnp.float32),
-            (patch & 0xFFFF).astype(jnp.float32),
+            (patch >> 24) & 0xFF,
+            (patch >> 16) & 0xFF,
+            (patch >> 8) & 0xFF,
+            patch & 0xFF,
         ],
         axis=-1,
-    )                                                      # (C, P, 2)
+    ).astype(jnp.bfloat16)                                 # (C, P, 4)
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _PATCH_P), 2)
-    onehot = (pidx[:, :, None] == iota).astype(jnp.float32)
-    # Precision.HIGHEST is MANDATORY: the TPU default runs f32 dots as
-    # single bf16 MXU passes (8-bit mantissa), silently truncating the
-    # 16-bit integer value columns.  CPU f32 dots are exact either way,
-    # so only the HIGHEST path keeps TPU == CPU == exact.
+    onehot = (pidx[:, :, None] == iota).astype(jnp.bfloat16)
     vals = jax.lax.dot_general(
         onehot, rhs,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )                                                      # (C, 512, 2)
-    d16 = vals[..., 0]
-    c565 = vals[..., 1].astype(jnp.int32)
+    ).astype(jnp.int32)                                    # (C, 512, 4)
+    d16 = ((vals[..., 0] << 8) | vals[..., 1]).astype(jnp.float32)
+    c565 = (vals[..., 2] << 8) | vals[..., 3]
     depth = d16 * (1.0 / config.depth_raw_scale)
     r = ((c565 >> 11) & 0x1F).astype(jnp.float32) * (1.0 / 31.0)
     g = ((c565 >> 5) & 0x3F).astype(jnp.float32) * (1.0 / 63.0)

@@ -131,7 +131,11 @@ def _splat_zbuf_surfels(
             rv = (
                 (start + jnp.arange(C, dtype=jnp.int32)) < n_list
             ) & (ids > 0)
-            rows = volume.surfpack[ids, s_lo:s_hi]               # (C, s)
+            # Batched row gather THEN static slice: the fancy-index
+            # form surfpack[ids, lo:hi] lowered to one dynamic-slice
+            # per row (4096/frame, ~4 ms -- round-3 trace); take() is
+            # a single contiguous-row DMA gather.
+            rows = jnp.take(volume.surfpack, ids, axis=0)[:, s_lo:s_hi]
             lidx, t, valid = B.unpack_surfels(rows)
             valid = valid & rv[:, None]
             coords = volume.block_coords[ids]                    # (C, 3)
