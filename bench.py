@@ -94,7 +94,11 @@ def main():
     rng = np.random.default_rng(7)
 
     if scene == "desk":
-        n_warm, n_bench = 5, 60
+        # 120 frames over the full 2-pi orbit: ~7.9 cm / 3 deg per
+        # frame -- still ~4x harsher than TUM fr1_desk's inter-frame
+        # motion at 30 Hz (the 60-frame first cut moved 15 cm/frame,
+        # ~10x fr1, and accumulated drift dominated the ATE).
+        n_warm, n_bench = 5, 120
         n_total = n_warm + n_bench
         poses = orbit_poses(
             n_total, center=(0.0, 0.0, -0.25), radius=1.5, height=0.55,

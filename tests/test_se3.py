@@ -78,3 +78,45 @@ def test_exp_matches_matrix_exponential():
     expected = expm(xi_mat)
     T = SE3.exp(jnp.asarray(np.concatenate([w, v]), jnp.float32))
     np.testing.assert_allclose(T.as_matrix(), expected, atol=1e-5)
+
+
+def test_log_small_angle_f32_safe():
+    """f32 regression for the production NaN: log() of a near-identity
+    delta whose rotation carries accumulated f32 non-orthogonality
+    (trace marginally > 3).  The old theta2 < 1e-8 series threshold
+    sent theta ~ 1e-4 down the closed form, where cos(1e-4) rounds to
+    exactly 1.0f and (1-cos)/t^2 = 0 produced inf/NaN (desk bench,
+    frames 49/52)."""
+    # The exact delta captured from the failing desk run (frame 48->49).
+    R = jnp.asarray(
+        [
+            [1.0000023e00, -8.9664682e-05, 8.1197941e-06],
+            [9.1397786e-05, 1.0000063e00, 4.9752998e-05],
+            [-8.3599298e-06, -4.9893279e-05, 1.0000036e00],
+        ],
+        jnp.float32,
+    )
+    t = jnp.asarray([-4.8048496e-03, -1.7758846e-02, 7.2211027e-05])
+    xi = SE3(R, t).log()
+    assert np.all(np.isfinite(np.asarray(xi))), np.asarray(xi)
+    # v must reproduce t to f32 accuracy (V ~ I at this angle).
+    np.testing.assert_allclose(np.asarray(xi[3:]), np.asarray(t), atol=1e-6)
+
+
+def test_exp_log_roundtrip_small_angles():
+    """exp/log roundtrip across the angles where f32 cancellation
+    lives: theta from 1e-6 to 1e-1 rad."""
+    rng = np.random.default_rng(11)
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    for theta in (1e-6, 1e-5, 1e-4, 5e-4, 1e-3, 5e-3, 1e-2, 1e-1):
+        v = rng.uniform(-0.05, 0.05, 3)
+        xi = jnp.asarray(np.concatenate([theta * axis, v]), jnp.float32)
+        T = SE3.exp(xi)
+        back = np.asarray(T.log())
+        assert np.all(np.isfinite(back))
+        np.testing.assert_allclose(back, np.asarray(xi), atol=2e-6)
+        # exp must actually rotate: |R - I| ~ theta, not collapsed to I
+        # (the old threshold zeroed b=(1-cos)/t^2 below t~3e-4).
+        offdiag = np.asarray(T.rotation) - np.eye(3)
+        assert np.abs(offdiag).max() > 0.5 * theta

@@ -86,6 +86,18 @@ class Config:
                                        # more -- overflow is counted, and
                                        # dropped surfels only cost
                                        # hole-fill work downstream
+    splat_backface_cull: bool = True   # cull surfels whose quantized
+                                       # TSDF-gradient orientation faces
+                                       # away from the viewing ray.
+                                       # Required for NOVEL-view renders
+                                       # (holes in the front shell let
+                                       # back-shell surfels win the
+                                       # z-buffer: 35% of pixels wrong on
+                                       # the novel-view sphere test);
+                                       # measurable ATE cost on tracking
+                                       # (views near the fused
+                                       # trajectory see no leakage, and
+                                       # culling thins silhouettes)
     splat_polish: int = 0              # trilinear snap rounds (0 = off:
                                        #   one linear secant over a +-2
                                        #   voxel bracket MOVES depth wrong

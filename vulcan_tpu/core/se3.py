@@ -22,6 +22,16 @@ from jax.lax import Precision
 from ..utils.pytree import pytree_dataclass
 
 _EPS = 1e-8
+# Small-angle series threshold on theta^2.  In f32, the closed forms
+# (1-cos t)/t^2 and (t-sin t)/t^3 are catastrophically cancelled for
+# small t -- cos(1e-4) rounds to exactly 1.0f, so b=0, a/(2b)=inf and
+# SE3.log returns NaN (hit in production: a near-identity inter-frame
+# delta in fusion.predict_pose NaN'd the predicted pose and zeroed two
+# frames of tracking on the desk bench).  The 2nd-order series carries
+# relative error ~t^2/20 < 5e-7 below t=1e-2, already finer than f32
+# eps, so t^2 < 1e-4 takes the series exactly where it is the MORE
+# accurate branch.  (1e-8 was a correct threshold only for f64.)
+_SERIES_T2 = 1e-4
 
 
 def skew(w: jax.Array) -> jax.Array:
@@ -46,7 +56,7 @@ def so3_exp(omega: jax.Array) -> jax.Array:
     theta2 = jnp.sum(omega * omega, axis=-1)
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     # sin(t)/t and (1-cos(t))/t^2 with small-angle series fallbacks.
-    use_series = theta2 < 1e-8
+    use_series = theta2 < _SERIES_T2
     a = jnp.where(use_series, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(use_series, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     K = skew(omega)
@@ -68,7 +78,7 @@ def so3_log(R: jax.Array) -> jax.Array:
         axis=-1,
     )
     theta2 = theta * theta
-    use_series = theta2 < 1e-8
+    use_series = theta2 < _SERIES_T2
     sin_theta = jnp.sin(theta)
     scale = jnp.where(
         use_series,
@@ -139,7 +149,7 @@ class SE3:
         omega, v = xi[..., :3], xi[..., 3:]
         theta2 = jnp.sum(omega * omega, axis=-1)
         theta = jnp.sqrt(theta2 + _EPS * _EPS)
-        use_series = theta2 < 1e-8
+        use_series = theta2 < _SERIES_T2
         R = so3_exp(omega)
         # Left Jacobian V: t = V @ v.
         b = jnp.where(
@@ -160,7 +170,7 @@ class SE3:
         omega = so3_log(self.rotation)
         theta2 = jnp.sum(omega * omega, axis=-1)
         theta = jnp.sqrt(theta2 + _EPS * _EPS)
-        use_series = theta2 < 1e-8
+        use_series = theta2 < _SERIES_T2
         K = skew(omega)
         eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), K.shape)
         # V^{-1} = I - K/2 + (1/theta^2)(1 - a/(2b)) K^2,  a=sin/theta, b=(1-cos)/th^2

@@ -111,13 +111,63 @@ def create_volume(config: Config, dtype=jnp.float32) -> VolumeState:
     )
 
 
+def quantized_orientation(tsdf_rows):
+    """Per-voxel quantized TSDF-gradient direction, (gx, gy, gz) int32
+    in {-1, 0, 1}: the outward surface orientation (TSDF grows toward
+    free space).  Central differences within the block (one-sided at
+    block faces -- the neighbor block is out of reach here, and only
+    the SIGN pattern matters); components below a quarter of the
+    dominant one quantize to 0 so near-tangent axes don't flip the
+    back-face culling test.  Shared by ``pack_surfels`` (stored in bits
+    24-29 of the surfel word) and the direct splat path, which computes
+    it on the fly -- the two renderers must cull identically."""
+    t3 = tsdf_rows.reshape(-1, 8, 8, 8)
+
+    def _grad(axis):
+        lo = jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(t3, 0, 1, axis=axis),
+                jax.lax.slice_in_dim(t3, 0, 7, axis=axis),
+            ],
+            axis=axis,
+        )
+        hi = jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(t3, 1, 8, axis=axis),
+                jax.lax.slice_in_dim(t3, 7, 8, axis=axis),
+            ],
+            axis=axis,
+        )
+        return (hi - lo).reshape(tsdf_rows.shape)
+
+    gx, gy, gz = _grad(1), _grad(2), _grad(3)
+    gm = 0.25 * jnp.maximum(
+        jnp.abs(gx), jnp.maximum(jnp.abs(gy), jnp.abs(gz))
+    )
+
+    def _q(g):
+        return jnp.where(g > gm, 1, jnp.where(g < -gm, -1, 0)).astype(
+            jnp.int32
+        )
+
+    return _q(gx), _q(gy), _q(gz)
+
+
 def pack_surfels(tsdf_rows, weight_rows, band: float, slots: int):
     """Rows (C, 512) -> compacted surfel rows (C, slots) + counts.
 
     A voxel is a surfel iff observed and |tsdf| < band.  Packed value
-    (24 bits, < EMPTY_SURFEL)::
+    (30 bits, < EMPTY_SURFEL)::
 
+        qgz+1 << 28 | qgy+1 << 26 | qgx+1 << 24 |
         |tsdf|_q14 << 10 | sign(tsdf) << 9 | lidx
+
+    where (qgx, qgy, qgz) in {-1,0,1}^3 is the quantized TSDF-gradient
+    direction (the outward surface orientation).  The renderer culls
+    surfels whose orientation faces AWAY from the viewing ray:
+    without it, any hole in the front shell at a novel viewpoint lets
+    BACK-face surfels win the z-buffer (measured: 35% of pixels off by
+    up to the full sphere diameter on the novel-view sphere test).
 
     Rows are filled inner-half-band first (|tsdf| < band/2) so that when
     a block's shell exceeds ``slots`` (an axis-aligned plane's shell is
@@ -137,7 +187,12 @@ def pack_surfels(tsdf_rows, weight_rows, band: float, slots: int):
     ).astype(jnp.int32)
     sign = (tsdf_rows < 0.0).astype(jnp.int32)
     live = (jnp.abs(tsdf_rows) < band) & (weight_rows > 0.0)
-    val = (mag << 10) | (sign << 9) | lidx                 # 24 bits
+
+    gx, gy, gz = quantized_orientation(tsdf_rows)
+    val = (
+        ((gz + 1) << 28) | ((gy + 1) << 26) | ((gx + 1) << 24)
+        | (mag << 10) | (sign << 9) | lidx
+    )                                                      # 30 bits
 
     # Two-priority compaction instead of a per-row SORT: a 512-lane
     # bitonic sort per integrated row was the single hottest op of the
@@ -162,14 +217,23 @@ def pack_surfels(tsdf_rows, weight_rows, band: float, slots: int):
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, slots), 2)
     onehot = (pos[:, :, None] == iota).astype(jnp.bfloat16)
     rhs = jnp.stack(
-        [(val >> 16) & 0xFF, (val >> 8) & 0xFF, val & 0xFF], axis=-1
-    ).astype(jnp.bfloat16)                                 # (C, n, 3)
+        [
+            (val >> 24) & 0xFF,
+            (val >> 16) & 0xFF,
+            (val >> 8) & 0xFF,
+            val & 0xFF,
+        ],
+        axis=-1,
+    ).astype(jnp.bfloat16)                                 # (C, n, 4)
     cols = jax.lax.dot_general(
         onehot, rhs,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)                                    # (C, slots, 3)
-    out = (cols[..., 0] << 16) | (cols[..., 1] << 8) | cols[..., 2]
+    ).astype(jnp.int32)                                    # (C, slots, 4)
+    out = (
+        (cols[..., 0] << 24) | (cols[..., 1] << 16)
+        | (cols[..., 2] << 8) | cols[..., 3]
+    )
 
     count = jnp.sum(live, axis=1).astype(jnp.int32)
     kept = jnp.minimum(count, slots)
@@ -181,13 +245,17 @@ def pack_surfels(tsdf_rows, weight_rows, band: float, slots: int):
 
 
 def unpack_surfels(surf_rows):
-    """(..., S) int32 -> (lidx int32, tsdf f32, valid bool)."""
+    """(..., S) int32 -> (lidx int32, tsdf f32, valid bool,
+    (gx, gy, gz) f32 quantized outward-orientation components)."""
     valid = surf_rows != EMPTY_SURFEL
     lidx = jnp.where(valid, surf_rows & 0x1FF, 0)
     mag = (surf_rows >> 10) & 0x3FFF
     sign = jnp.where((surf_rows >> 9) & 1 == 1, -1.0, 1.0)
     tsdf = sign * mag.astype(jnp.float32) * (1.0 / 16383.0)
-    return lidx, jnp.where(valid, tsdf, 1.0), valid
+    gx = (((surf_rows >> 24) & 3) - 1).astype(jnp.float32)
+    gy = (((surf_rows >> 26) & 3) - 1).astype(jnp.float32)
+    gz = (((surf_rows >> 28) & 3) - 1).astype(jnp.float32)
+    return lidx, jnp.where(valid, tsdf, 1.0), valid, (gx, gy, gz)
 
 
 # ---------------------------------------------------------------------------

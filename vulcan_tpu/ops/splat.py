@@ -98,6 +98,7 @@ def _splat_zbuf_surfels(
     height: int,
     width: int,
     config: Config,
+    with_color: bool = False,
 ):
     """Z-buffer from the persistent per-block surfel lists.
 
@@ -106,6 +107,13 @@ def _splat_zbuf_surfels(
     scatter runs over the COMPACTED surfel rows maintained by
     integration: ~4x fewer scatter lanes at the measured ~140M lanes/s,
     and no per-frame dense row pass to find them.
+
+    ``with_color=True`` adds a SECOND pass over the same surfels that
+    scatters each winner's voxel color (rgb888) wherever its depth
+    matches the finished z-buffer -- the cache-free model-color path
+    (the render-cache build this replaces re-gathered 729-voxel halos
+    of every visible block each frame, ~10x the lanes of the surfel
+    scatter).  Returns zbuf, or (zbuf, colorbuf int32 (-1 = no color)).
     """
     vs = config.voxel_size
     mu = config.trunc_dist
@@ -113,19 +121,24 @@ def _splat_zbuf_surfels(
     w2c = pose.inverse()
     R = w2c.rotation
     tr = w2c.translation
+    cw = pose.translation                       # camera center, world
 
     render_ids, n_surf = _surfel_block_list(volume, config)
     V = render_ids.shape[0]
 
     zbuf0 = jnp.full((height * width,), jnp.inf, jnp.float32)
 
-    def scatter_tier(zbuf, ids_list, n_list, s_lo, s_hi, chunk):
-        """Scatter surfel slots [s_lo, s_hi) of the listed blocks."""
+    def scatter_tier(buf, ids_list, n_list, s_lo, s_hi, chunk, zref=None):
+        """Scatter surfel slots [s_lo, s_hi) of the listed blocks.
+
+        zref=None: min-z scatter into ``buf`` (f32 z-buffer).
+        zref=zbuf: color scatter into ``buf`` (int32 rgb888 buffer) at
+        the surfels whose depth won the z-buffer."""
         C = min(chunk, ids_list.shape[0])
         n_chunks = (n_list + C - 1) // C
 
         def body(carry):
-            i, zbuf = carry
+            i, buf = carry
             start = i * C
             ids = jax.lax.dynamic_slice_in_dim(ids_list, start, C)
             rv = (
@@ -136,7 +149,7 @@ def _splat_zbuf_surfels(
             # per row (4096/frame, ~4 ms -- round-3 trace); take() is
             # a single contiguous-row DMA gather.
             rows = jnp.take(volume.surfpack, ids, axis=0)[:, s_lo:s_hi]
-            lidx, t, valid = B.unpack_surfels(rows)
+            lidx, t, valid, (gx, gy, gz) = B.unpack_surfels(rows)
             valid = valid & rv[:, None]
             coords = volume.block_coords[ids]                    # (C, 3)
 
@@ -151,8 +164,24 @@ def _splat_zbuf_surfels(
             cz = R[2, 0] * wx + R[2, 1] * wy + R[2, 2] * wz + tr[2]
 
             z_surf = cz + t * mu
+            # Back-face cull: the stored quantized orientation points
+            # outward (toward free space); a surfel whose orientation
+            # has positive dot with the viewing ray faces away from the
+            # camera and must not write depth -- at novel viewpoints a
+            # hole in the front shell otherwise lets back-shell surfels
+            # win the z-buffer (measured: 35% of pixels off by up to
+            # the full sphere diameter on the novel-view sphere test).
+            if config.splat_backface_cull:
+                back = (
+                    gx * (wx - cw[0])
+                    + gy * (wy - cw[1])
+                    + gz * (wz - cw[2])
+                ) > 0.0
+            else:
+                back = jnp.zeros_like(valid)
             zok = (
                 valid
+                & ~back
                 & (z_surf > config.ray_near)
                 & (z_surf < config.ray_far)
                 & (cz > 1e-6)
@@ -166,14 +195,47 @@ def _splat_zbuf_surfels(
             ).astype(jnp.int32)
             inb = (u >= 0) & (u < width) & (v >= 0) & (v < height) & zok
             pix = jnp.where(inb, v * width + u, height * width)
-            zbuf = zbuf.at[pix.reshape(-1)].min(
-                jnp.where(inb, z_surf, jnp.inf).reshape(-1), mode="drop"
+            if zref is None:
+                buf = buf.at[pix.reshape(-1)].min(
+                    jnp.where(inb, z_surf, jnp.inf).reshape(-1),
+                    mode="drop",
+                )
+                return i + 1, buf
+
+            # Color pass: voxel rgb888 selected within the gathered
+            # colorpack rows by one-hot byte-column matmul (exact on
+            # the bf16 MXU path), scattered where this surfel's depth
+            # matches the z-buffer winner.  1e-5 m slack absorbs any
+            # cross-fusion float reassociation; a near-tie then writes
+            # either surfel's color (max of rgb888 -- both are the
+            # same surface).
+            cp = jnp.take(volume.colorpack, ids, axis=0)     # (C, 512)
+            rhs = jnp.stack(
+                [(cp >> 16) & 0xFF, (cp >> 8) & 0xFF, cp & 0xFF],
+                axis=-1,
+            ).astype(jnp.bfloat16)
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, cp.shape[1]), 2
             )
-            return i + 1, zbuf
+            onehot = (lidx[:, :, None] == iota).astype(jnp.bfloat16)
+            rgb = jax.lax.dot_general(
+                onehot, rhs,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)                              # (C, s, 3)
+            rgb888 = (
+                (rgb[..., 0] << 16) | (rgb[..., 1] << 8) | rgb[..., 2]
+            )
+            zb = zref[jnp.minimum(pix, height * width - 1)]
+            win = inb & (z_surf <= zb + 1e-5)
+            buf = buf.at[pix.reshape(-1)].max(
+                jnp.where(win, rgb888, -1).reshape(-1), mode="drop"
+            )
+            return i + 1, buf
 
         return jax.lax.while_loop(
             lambda c: c[0] < n_chunks, body,
-            (jnp.asarray(0, jnp.int32), zbuf),
+            (jnp.asarray(0, jnp.int32), buf),
         )[1]
 
     # Two-tier scatter: scatter lanes are paid for masked slots too, and
@@ -190,7 +252,12 @@ def _splat_zbuf_surfels(
 
     zbuf = scatter_tier(zbuf0, render_ids, n_surf, 0, s1, 2048)
     zbuf = scatter_tier(zbuf, ids2, n2, s1, S, 512)
-    return zbuf
+    if not with_color:
+        return zbuf
+    cbuf0 = jnp.full((height * width,), -1, jnp.int32)
+    cbuf = scatter_tier(cbuf0, render_ids, n_surf, 0, s1, 2048, zref=zbuf)
+    cbuf = scatter_tier(cbuf, ids2, n2, s1, S, 512, zref=zbuf)
+    return zbuf, cbuf
 
 
 def _splat_zbuf_direct(
@@ -220,6 +287,7 @@ def _splat_zbuf_direct(
     w2c = pose.inverse()
     R = w2c.rotation
     tr = w2c.translation
+    cw = pose.translation                       # camera center, world
 
     render_ids, n_surf = _surface_block_list(volume, config)
     V = render_ids.shape[0]
@@ -254,8 +322,21 @@ def _splat_zbuf_direct(
         cz = R[2, 0] * wx + R[2, 1] * wy + R[2, 2] * wz + tr[2]
 
         z_surf = cz + t * mu
+        # Identical back-face cull to the surfel path (same quantized
+        # orientation, computed on the fly here) -- the two renderers
+        # must stay bit-equal (test_splat_surfels_matches_direct).
+        if config.splat_backface_cull:
+            gxq, gyq, gzq = B.quantized_orientation(t)
+            back = (
+                gxq.astype(jnp.float32) * (wx - cw[0])
+                + gyq.astype(jnp.float32) * (wy - cw[1])
+                + gzq.astype(jnp.float32) * (wz - cw[2])
+            ) > 0.0
+        else:
+            back = jnp.zeros_like(obs)
         zok = (
             obs
+            & ~back
             & (jnp.abs(t) < band)
             & (z_surf > config.ray_near)
             & (z_surf < config.ray_far)
@@ -486,16 +567,33 @@ def render_splat(
     """Render model maps by surfel splatting (see module docstring)."""
     vs = config.voxel_size
     # The cache is only needed for trilinear work (polish, gradient
-    # normals) or color sampling; the default depth-tracking path skips
-    # it entirely and splats straight from the volume.
-    need_cache = (
-        config.splat_polish > 0 or normals == "gradient" or with_color
+    # normals) -- and for color ONLY on the non-surfel sources: the
+    # surfel renderer colors its own z-buffer winners in a second
+    # scatter pass, cache-free (this is what makes combined-mode
+    # tracking affordable: the cache build re-gathered 729-voxel halos
+    # of every visible block each frame).
+    surfel_color = (
+        with_color
+        and config.splat_source == "surfels"
+        and config.splat_polish == 0
+        and normals != "gradient"
+        and cache is None
     )
+    need_cache = (
+        config.splat_polish > 0
+        or normals == "gradient"
+        or (with_color and not surfel_color)
+    )
+    cbuf = None
     if need_cache:
         if cache is None:
             cache = RC.build(volume, config)
         zbuf = _splat_zbuf_cached(
             volume, cache, camera, pose, height, width, config
+        )
+    elif surfel_color:
+        zbuf, cbuf = _splat_zbuf_surfels(
+            volume, camera, pose, height, width, config, with_color=True
         )
     elif config.splat_source == "surfels":
         zbuf = _splat_zbuf_surfels(
@@ -589,7 +687,43 @@ def render_splat(
         ny = jnp.where(good & n_ok, sy_ * inv, ny)
         nz = jnp.where(good & n_ok, sz_ * inv, nz)
 
-    if with_color:
+    if with_color and cbuf is not None:
+        cimg = cbuf.reshape(height, width)
+        c_ok = cimg >= 0
+        color = jnp.where(
+            c_ok[..., None],
+            jnp.stack(
+                [
+                    (cimg >> 16) & 0xFF,
+                    (cimg >> 8) & 0xFF,
+                    cimg & 0xFF,
+                ],
+                axis=-1,
+            ).astype(jnp.float32)
+            * (1.0 / 255.0),
+            0.0,
+        )
+        # Depth-hole-filled pixels have no scattered color; leaving them
+        # black would feed zero intensity into the photometric tracker
+        # (Render.valid covers them).  Diffuse valid neighbor colors in
+        # with the same reach as the depth fill.
+        for _ in range(config.splat_fill_rounds):
+            okf = c_ok.astype(jnp.float32)
+            acc = color * okf[..., None]
+            cnt = okf
+            for ddy in (-1, 0, 1):
+                for ddx in (-1, 0, 1):
+                    if ddx == 0 and ddy == 0:
+                        continue
+                    acc = acc + _shift2d(
+                        color * okf[..., None], ddy, ddx
+                    )
+                    cnt = cnt + _shift2d(okf, ddy, ddx)
+            grown = cnt > 0.0
+            fill = acc / jnp.maximum(cnt, 1.0)[..., None]
+            color = jnp.where((~c_ok & grown)[..., None], fill, color)
+            c_ok = c_ok | grown
+    elif with_color:
         color, _ = RC.sample_color_nearest_axes(
             cache, volume, px, py, pz, config
         )

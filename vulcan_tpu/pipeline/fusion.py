@@ -145,7 +145,14 @@ def predict_pose(state: PipelineState, config: Config) -> SE3:
         return state.pose
     delta = state.pose @ state.prev_pose.inverse()
     if a != 1.0:
-        delta = SE3.exp(a * delta.log())
+        # Sanitize: log() of a degenerate delta (accumulated f32
+        # non-orthogonality once NaN'd here via the small-angle branch,
+        # see core/se3._SERIES_T2) must never poison the predicted
+        # pose -- a NaN init zeroes every ICP level and costs a whole
+        # tracked frame.  Fall back to no extrapolation.
+        xi = a * delta.log()
+        xi = jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros_like(xi))
+        delta = SE3.exp(xi)
     return delta @ state.pose
 
 
