@@ -66,14 +66,17 @@ def main():
     for a in sys.argv[1:]:
         if a.startswith("--set="):
             k, v = a.split("=", 1)[1].split(":", 1)
-            for cast in (int, float):
-                try:
-                    v = cast(v)
-                    break
-                except ValueError:
-                    pass
-            if v in ("true", "false"):
-                v = v == "true"
+            if "," in v:  # tuple fields (icp_iters, icp_assoc, icp_stride)
+                v = tuple(int(x) for x in v.split(","))
+            else:
+                for cast in (int, float):
+                    try:
+                        v = cast(v)
+                        break
+                    except ValueError:
+                        pass
+                if v in ("true", "false"):
+                    v = v == "true"
             overrides[k] = v
 
     import dataclasses

@@ -140,6 +140,17 @@ class Config:
                                        # TPU, flat elsewhere), "on",
                                        # "off".  See ops/icp.py
                                        # _PatchAssoc.
+    coarse_patch_after: int = 2        # at the COARSEST level, flat
+                                       # association rounds before
+                                       # switching to frozen-window
+                                       # patch gathers: the first
+                                       # rounds absorb global motion
+                                       # (windows would clip it), the
+                                       # rest re-associate a nearly
+                                       # converged warp -- flat gathers
+                                       # there cost ~2.5 ms/frame
+                                       # (round-3 trace, icp.py:292).
+                                       # Large value = always flat.
     motion_prediction: float = 0.5     # damped constant-velocity tracker
                                        # init: extrapolate this fraction
                                        # of the last inter-frame motion

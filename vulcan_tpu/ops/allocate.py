@@ -39,10 +39,14 @@ def candidate_block_codes(
     Returns (N,) int32 codes with INVALID_CODE holes, where
     N = ceil(H/ss) * ceil(W/ss) * alloc_samples.
     """
+    from .preprocess import subsample_stride
+
     ss = config.alloc_subsample
-    d = depth[::ss, ::ss]
+    d = subsample_stride(depth, ss)
     h, w = d.shape
-    uv = camera.pixel_grid(depth.shape[0], depth.shape[1])[::ss, ::ss]
+    uv = subsample_stride(
+        camera.pixel_grid(depth.shape[0], depth.shape[1]), ss
+    )
     rays_cam = camera.unproject(uv, jnp.ones_like(d))        # z = 1
     rays_world = pose.rotate(rays_cam)
     origin = pose.translation

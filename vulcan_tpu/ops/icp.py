@@ -181,7 +181,7 @@ def model_pyramid(
     hot path; normals+validity pack to one int32 image here, and every
     coarser level subsamples the planar views.  ``with_intensity=False``
     (geometric-only tracking) skips the intensity image entirely."""
-    from .preprocess import intensity_from_color
+    from .preprocess import intensity_from_color, subsample_stride
 
     origin = _snap_origin(render.pose.translation)
     vp1, vp2 = _pack_vertices(render.vx, render.vy, render.vz, origin)
@@ -193,9 +193,9 @@ def model_pyramid(
     maps = []
     for level in range(levels):
         if level > 0:
-            vp1, vp2 = vp1[::2, ::2], vp2[::2, ::2]
-            npack, ok = npack[::2, ::2], ok[::2, ::2]
-            c = c[::2, ::2] if c is not None else None
+            vp1, vp2 = subsample_stride(vp1, 2), subsample_stride(vp2, 2)
+            npack, ok = subsample_stride(npack, 2), subsample_stride(ok, 2)
+            c = subsample_stride(c, 2) if c is not None else None
             cam = cam.subsampled(2)
         maps.append(ModelMaps(vp1, vp2, npack, c, ok, origin, cam, w2c))
     return tuple(maps)
@@ -584,18 +584,34 @@ def _pp_normal_eqs(live: FrameMaps, v_m, n_m, assoc_ok, pose: SE3,
         vx * ny - vy * nx,
         nx, ny, nz,                 # [n]
     )
-    H = jnp.zeros((6, 6))
-    b = jnp.zeros((6,))
+    # All 29 scalars from ONE stacked reduction, then assemble the 6x6
+    # by a static gather from the vector: building H with 27 .at[].set
+    # calls lowered to (6,6) scatter ops costing ~0.5 ms/frame across
+    # the GN iterations (round-3 source-attributed trace, icp.py 6x6).
+    parts = []
+    tri = []
     for a in range(6):
         wj = w * j[a]
         for c in range(a, 6):
-            s = jnp.sum(wj * j[c])
-            H = H.at[a, c].set(s)
-            if c != a:
-                H = H.at[c, a].set(s)
-        b = b.at[a].set(jnp.sum(wj * r))
-    err = jnp.sum(w * r * r)
-    cnt = jnp.sum((w > 0.0).astype(jnp.float32))
+            tri.append((a, c))
+            parts.append(wj * j[c])
+        parts.append(wj * r)
+    parts.append(w * r * r)
+    parts.append((w > 0.0).astype(jnp.float32))
+    sums = jnp.sum(jnp.stack(parts).reshape(len(parts), -1), axis=1)
+    pos = {}
+    k = 0
+    for a in range(6):
+        for c in range(a, 6):
+            pos[(a, c)] = k
+            k += 1
+        k += 1  # the b entry interleaved after row a's triangle
+    hmap = [[pos[(min(a, c), max(a, c))] for c in range(6)] for a in range(6)]
+    bmap = [pos[(a, 5)] + 1 for a in range(6)]
+    H = sums[jnp.asarray(hmap)]
+    b = sums[jnp.asarray(bmap)]
+    err = sums[-2]
+    cnt = sums[-1]
     return H, b, err, cnt
 
 
@@ -716,13 +732,15 @@ def track(
             # Subsample the live side: association gathers dominate ICP's
             # cost on TPU; point-to-plane accuracy is retained by the
             # full-res model side and the statistics of ~19k pairs.
+            from .preprocess import subsample_stride as _ss
+
             st = strides[level]
             live = FrameMaps(
-                depth=live.depth[::st, ::st],
-                vertices=live.vertices[::st, ::st],
-                normals=live.normals[::st, ::st],
+                depth=_ss(live.depth, st),
+                vertices=_ss(live.vertices, st),
+                normals=_ss(live.normals, st),
                 intensity=(
-                    live.intensity[::st, ::st]
+                    _ss(live.intensity, st)
                     if live.intensity is not None
                     else None
                 ),
@@ -740,17 +758,26 @@ def track(
 
             # Patch/one-hot association on every level but the coarsest
             # (which absorbs the large global warp with flat gathers).
-            use_patch = level < config.pyramid_levels - 1 and (
-                config.assoc_patch == "on"
-                or (
-                    config.assoc_patch == "auto"
-                    and jax.default_backend() == "tpu"
-                )
+            # At the coarsest level, the FIRST ``coarse_patch_after``
+            # rounds stay flat (wide basin), later rounds re-associate
+            # a nearly converged warp through frozen patch windows.
+            patch_ok = config.assoc_patch == "on" or (
+                config.assoc_patch == "auto"
+                and jax.default_backend() == "tpu"
             )
-            assoc_state = _PatchAssoc(model) if use_patch else None
+            is_coarse = level == config.pyramid_levels - 1
+            use_patch = patch_ok and not is_coarse
+            patch_from = (
+                0 if use_patch
+                else (config.coarse_patch_after if patch_ok else rounds)
+            )
+            assoc_state = (
+                _PatchAssoc(model) if patch_ok and patch_from < rounds
+                else None
+            )
 
             for _round in range(rounds):
-                if use_patch:
+                if _round >= patch_from:
                     v_m, n_m, ok = associate_depth_patched(
                         live, model, pose, config, assoc_state
                     )

@@ -410,8 +410,10 @@ def raycast(
     k = config.raycast_coarse
 
     # --- coarse march at 1/k resolution ------------------------------------
-    cdx, cdy, cdz = dx_[::k, ::k], dy_[::k, ::k], dz_[::k, ::k]
-    c_inv = inv_dir_norm[::k, ::k]
+    from .preprocess import subsample_stride as _ss
+
+    cdx, cdy, cdz = _ss(dx_, k), _ss(dy_, k), _ss(dz_, k)
+    c_inv = _ss(inv_dir_norm, k)
     c_tmin = _minpool(t_min, k)
     c_tfmax = _maxpool(jnp.where(has_range, t_fmax, -jnp.inf), k)
     c_tmax = _maxpool(jnp.where(has_range, t_max, -jnp.inf), k)

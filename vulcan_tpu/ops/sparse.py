@@ -107,11 +107,13 @@ def _build_mip_tiles(packed: jax.Array):
     sample, no averaging of packed values), zero-padded to the tile
     grid; packed 0 decodes to depth 0 = invalid, so padding is inert.
     """
+    from .preprocess import subsample_stride
+
     h, w = packed.shape
     meta, total = _mip_meta(h, w)
     parts = []
     for level, (off, wt, hp, hl, wl) in enumerate(meta):
-        m = packed[:: 1 << level, :: 1 << level]
+        m = subsample_stride(packed, 1 << level)
         m = jnp.pad(m, ((0, hp - hl), (0, wt * _TILE_W - wl)))
         parts.append(m.reshape(hp * wt, _TILE_W))
     return jnp.concatenate(parts, axis=0), meta
