@@ -584,16 +584,22 @@ def _pp_normal_eqs(live: FrameMaps, v_m, n_m, assoc_ok, pose: SE3,
         vx * ny - vy * nx,
         nx, ny, nz,                 # [n]
     )
-    # All 29 scalars from ONE stacked reduction, then assemble the 6x6
-    # by a static gather from the vector: building H with 27 .at[].set
-    # calls lowered to (6,6) scatter ops costing ~0.5 ms/frame across
-    # the GN iterations (round-3 source-attributed trace, icp.py 6x6).
+    return _fused_normal_eqs(j, r, w)
+
+
+def _fused_normal_eqs(j, r, w):
+    """(H, b, err, cnt) from planar Jacobian components, one reduction.
+
+    All 29 scalars come from ONE stacked reduction, then the 6x6 is
+    assembled by a static gather from the vector: building H with 27
+    .at[].set calls lowered to (6,6) scatter ops costing ~0.5 ms/frame
+    across the GN iterations (round-3 source-attributed trace), and a
+    materialized (N, 6) Jacobian forces a minor-dim-6 relayout.
+    """
     parts = []
-    tri = []
     for a in range(6):
         wj = w * j[a]
         for c in range(a, 6):
-            tri.append((a, c))
             parts.append(wj * j[c])
         parts.append(wj * r)
     parts.append(w * r * r)
@@ -665,6 +671,95 @@ def color_rows(
     )
 
 
+def intensity_grads(intensity: jax.Array):
+    """Central-difference gradient images of the model intensity.
+
+    Computed ONCE per level (pose-independent) so photometric rounds
+    sample 3 bilinear values (I, gx, gy = 12 gathers/px) instead of the
+    5 bilinear taps (20 gathers/px) the per-iteration path paid."""
+    from .preprocess import _shift2d
+
+    gx = 0.5 * (_shift2d(intensity, 0, 1) - _shift2d(intensity, 0, -1))
+    gy = 0.5 * (_shift2d(intensity, 1, 0) - _shift2d(intensity, -1, 0))
+    return gx, gy
+
+
+def color_assoc(
+    live: FrameMaps, model: ModelMaps, grads, pose: SE3, config: Config
+):
+    """The GATHER half of photometric tracking: sample model intensity
+    and its gradient at the current warp, ONCE per association round.
+
+    Returns fixed samples (i_m0, gu, gv, u0, v0, ok) for the dense
+    first-order re-linearizations of ``color_rows_fixed`` -- the same
+    warp-once trade the geometric path makes (association gathers
+    dominate ICP cost on TPU; the reference re-samples every iteration).
+    """
+    gx_img, gy_img = grads
+    v_w = pose.apply(live.vertices)
+    p_m = model.world_to_cam.apply(v_w)
+    uv = model.camera.project(p_m)
+
+    i_m0, inb = _sample_bilinear(model.intensity, uv)
+    _, ok_m = _sample_nearest_masked(model.intensity, model.valid, uv)
+    gu, _ = _sample_bilinear(gx_img, uv)
+    gv, _ = _sample_bilinear(gy_img, uv)
+    ok = inb & ok_m & (p_m[..., 2] > 0.0)
+    return i_m0, gu, gv, uv[..., 0], uv[..., 1], ok
+
+
+def color_rows_fixed(
+    live: FrameMaps, samples, model: ModelMaps, pose: SE3, config: Config
+):
+    """Photometric planar rows from FIXED intensity/gradient samples.
+
+    First-order image model around the sampled warp point:
+    ``I_model(u) ~ i_m0 + gu (u - u0) + gv (v - v0)``; the projection
+    and its Jacobian re-evaluate densely at the CURRENT pose.  Pixels
+    whose warp drifts further than a few pixels from the sample point
+    leave the linearization's validity and are gated out (they re-enter
+    at the next association round).  Returns (j 6-tuple, r, w) planar,
+    pre-scaled by ``rgb_weight``.
+    """
+    i_m0, gu, gv, u0, v0, ok0 = samples
+    live_ok = (
+        (live.depth > config.depth_min) & (live.depth < config.depth_max)
+    )
+    v_w = pose.apply(live.vertices)
+    p_m = model.world_to_cam.apply(v_w)
+    uv = model.camera.project(p_m)
+    u, v = uv[..., 0], uv[..., 1]
+
+    r = i_m0 + gu * (u - u0) + gv * (v - v0) - live.intensity
+
+    x, y, z = p_m[..., 0], p_m[..., 1], p_m[..., 2]
+    zc = jnp.maximum(z, 1e-6)
+    fx, fy = model.camera.fx, model.camera.fy
+    # g_p = dI/dp_m = gu * du/dp + gv * dv/dp (pinhole Jacobian), then
+    # rotated back to world by R_m^T (chain rule through world_to_cam).
+    gpx = gu * fx / zc
+    gpy = gv * fy / zc
+    gpz = -(gu * fx * x + gv * fy * y) / (zc * zc)
+    Rm = model.world_to_cam.rotation           # world->cam; inverse = R^T
+    gwx = Rm[0, 0] * gpx + Rm[1, 0] * gpy + Rm[2, 0] * gpz
+    gwy = Rm[0, 1] * gpx + Rm[1, 1] * gpy + Rm[2, 1] * gpz
+    gwz = Rm[0, 2] * gpx + Rm[1, 2] * gpy + Rm[2, 2] * gpz
+
+    drift2 = (u - u0) ** 2 + (v - v0) ** 2
+    gate = live_ok & ok0 & (z > 0.0) & (drift2 < 16.0)
+    w = jnp.where(gate, _huber_weight(r, config.rgb_huber_delta), 0.0)
+
+    s = config.rgb_weight
+    vx, vy, vz = v_w[..., 0], v_w[..., 1], v_w[..., 2]
+    j = (
+        s * (vy * gwz - vz * gwy),           # [v x g]
+        s * (vz * gwx - vx * gwz),
+        s * (vx * gwy - vy * gwx),
+        s * gwx, s * gwy, s * gwz,           # [g]
+    )
+    return j, s * r, w
+
+
 def normal_equations(J, r, w):
     """H = J^T W J (6x6), b = J^T W r (6,) -- one MXU matmul each."""
     Jw = J * w[:, None]
@@ -697,26 +792,6 @@ def track(
     """
     pose = init_pose
 
-    def level_rows(live, model, pose):
-        Hs = jnp.zeros((6, 6))
-        bs = jnp.zeros((6,))
-        err = jnp.zeros(())
-        cnt = jnp.zeros(())
-        if mode in ("depth", "combined"):
-            J, r, w = depth_rows(live, model, pose, config)
-            H, b = normal_equations(J, r, w)
-            Hs, bs = Hs + H, bs + b
-            err = err + jnp.sum(w * r * r)
-            cnt = cnt + jnp.sum(w > 0.0)
-        if mode in ("color", "combined"):
-            J, r, w = color_rows(live, model, pose, config)
-            H, b = normal_equations(J, r, w)
-            Hs, bs = Hs + H, bs + b
-            if mode == "color":
-                err = err + jnp.sum(w * r * r)
-                cnt = cnt + jnp.sum(w > 0.0)
-        return Hs, bs, err, cnt
-
     err = jnp.zeros(())
     inl = jnp.zeros(())
     lvl_err = [jnp.zeros(())] * config.pyramid_levels
@@ -747,73 +822,83 @@ def track(
                 camera=live.camera,
             )
 
-        if mode == "depth":
-            # Warp-once: ``icp_assoc[level]`` association (gather) rounds,
-            # each followed by dense GN re-linearizations on the fixed
-            # correspondences -- the reference re-associates every
-            # iteration, which on TPU pays the full random-access rate
-            # per iteration for associations that barely move.
-            rounds = max(1, min(config.icp_assoc[level], iters))
-            inner = -(-iters // rounds)  # ceil
+        # Warp-once, ALL modes: ``icp_assoc[level]`` association (gather)
+        # rounds, each followed by dense GN re-linearizations on the
+        # fixed correspondences/intensity samples -- the reference
+        # re-associates every iteration, which on TPU pays the full
+        # random-access rate per iteration for associations that barely
+        # move.  Photometric terms use a first-order image model around
+        # the sampled warp point (color_rows_fixed).
+        rounds = max(1, min(config.icp_assoc[level], iters))
+        inner = -(-iters // rounds)  # ceil
 
-            # Patch/one-hot association on every level but the coarsest
-            # (which absorbs the large global warp with flat gathers).
-            # At the coarsest level, the FIRST ``coarse_patch_after``
-            # rounds stay flat (wide basin), later rounds re-associate
-            # a nearly converged warp through frozen patch windows.
-            patch_ok = config.assoc_patch == "on" or (
-                config.assoc_patch == "auto"
-                and jax.default_backend() == "tpu"
-            )
-            is_coarse = level == config.pyramid_levels - 1
-            use_patch = patch_ok and not is_coarse
-            patch_from = (
-                0 if use_patch
-                else (config.coarse_patch_after if patch_ok else rounds)
-            )
-            assoc_state = (
-                _PatchAssoc(model) if patch_ok and patch_from < rounds
-                else None
-            )
+        # Patch/one-hot association on every level but the coarsest
+        # (which absorbs the large global warp with flat gathers).
+        # At the coarsest level, the FIRST ``coarse_patch_after``
+        # rounds stay flat (wide basin), later rounds re-associate
+        # a nearly converged warp through frozen patch windows.
+        patch_ok = config.assoc_patch == "on" or (
+            config.assoc_patch == "auto"
+            and jax.default_backend() == "tpu"
+        )
+        is_coarse = level == config.pyramid_levels - 1
+        use_patch = patch_ok and not is_coarse
+        patch_from = (
+            0 if use_patch
+            else (config.coarse_patch_after if patch_ok else rounds)
+        )
+        geometric = mode in ("depth", "combined")
+        assoc_state = (
+            _PatchAssoc(model)
+            if geometric and patch_ok and patch_from < rounds
+            else None
+        )
+        grads = intensity_grads(model.intensity) if mode != "depth" else None
 
-            for _round in range(rounds):
+        for _round in range(rounds):
+            if geometric:
                 if _round >= patch_from:
                     v_m, n_m, ok = associate_depth_patched(
                         live, model, pose, config, assoc_state
                     )
                 else:
                     v_m, n_m, ok = associate_depth(live, model, pose, config)
+            else:
+                v_m = n_m = ok = None
+            samples = (
+                color_assoc(live, model, grads, pose, config)
+                if mode != "depth" else None
+            )
 
-                def body_fixed(_, carry, v_m=v_m, n_m=n_m, ok=ok):
-                    pose, err, inl = carry
+            def body_fixed(
+                _, carry, v_m=v_m, n_m=n_m, ok=ok, samples=samples
+            ):
+                pose, err, inl = carry
+                if geometric:
                     H, b, e, c = _pp_normal_eqs(
                         live, v_m, n_m, ok, pose, config
                     )
-                    delta = solve_gn(H, b, config.icp_damping)
-                    enough = c >= 6.0
-                    delta = jnp.where(enough, delta, jnp.zeros((6,)))
-                    new_pose = SE3.exp(delta) @ pose
-                    return new_pose, e / jnp.maximum(c, 1.0), c
+                else:
+                    H = jnp.zeros((6, 6))
+                    b = jnp.zeros((6,))
+                    e = c = jnp.zeros(())
+                if mode != "depth":
+                    jc, rc, wc = color_rows_fixed(
+                        live, samples, model, pose, config
+                    )
+                    Hc, bc, ec, cc = _fused_normal_eqs(jc, rc, wc)
+                    H, b = H + Hc, b + bc
+                    if mode == "color":
+                        e, c = ec, cc
+                delta = solve_gn(H, b, config.icp_damping)
+                enough = c >= 6.0
+                delta = jnp.where(enough, delta, jnp.zeros((6,)))
+                new_pose = SE3.exp(delta) @ pose
+                return new_pose, e / jnp.maximum(c, 1.0), c
 
-                pose, err, inl = jax.lax.fori_loop(
-                    0, inner, body_fixed, (pose, err, inl)
-                )
-            lvl_err[level], lvl_inl[level] = jnp.sqrt(err), inl
-            continue
-
-        def body(_, carry):
-            pose, err, inl = carry
-            H, b, e, c = level_rows(live, model, pose)
-            delta = solve_gn(H, b, config.icp_damping)
-            # Reject steps with too few constraints.
-            enough = c >= 6.0
-            delta = jnp.where(enough, delta, jnp.zeros((6,)))
-            new_pose = SE3.exp(delta) @ pose
-            return new_pose, e / jnp.maximum(c, 1.0), c
-
-        pose, err, inl = jax.lax.fori_loop(
-            0, iters, body, (pose, err, inl)
-        )
+            pose, err, inl = jax.lax.fori_loop(
+                0, inner, body_fixed, (pose, err, inl)
+            )
         lvl_err[level], lvl_inl[level] = jnp.sqrt(err), inl
 
     level_inliers = jnp.stack(lvl_inl).astype(jnp.int32)
