@@ -212,7 +212,21 @@ def render_desk_depth(
     hit = jnp.isfinite(best_t)
     depth = jnp.where(hit, best_t, 0.0)
     p = o + jnp.where(hit, best_t, 0.0)[..., None] * d_world
-    color = jnp.where(hit[..., None], procedural_color(p), 0.0)
+    # Desk-class texture: the smooth meter-scale procedural_color alone
+    # is far blander than a real desk (fr1_desk has posters/keyboards/
+    # books -- texture everywhere), which starves photometric tracking
+    # exactly where the scene's dominant planes make geometric ICP
+    # degenerate.  Modulate with an ~8 cm-scale pattern (10 voxels at
+    # the default 8 mm -- coarse enough to fuse cleanly into per-voxel
+    # rgb888 color, sharp enough to carry intensity gradient).
+    tex = 0.80 + 0.20 * (
+        jnp.sin(p[..., 0] * 80.0)
+        * jnp.sin(p[..., 1] * 74.0)
+        * jnp.sin(p[..., 2] * 68.0)
+    )
+    color = jnp.where(
+        hit[..., None], procedural_color(p) * tex[..., None], 0.0
+    )
     return depth, color
 
 

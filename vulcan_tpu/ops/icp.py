@@ -24,8 +24,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.lax import Precision
-
 from ..config import Config
 from ..core.camera import PinholeCamera
 from ..core.frame import FrameMaps
@@ -510,44 +508,6 @@ def associate_depth_patched(
     return v_m, n_m, ok_m & ok
 
 
-def depth_rows_fixed(
-    live: FrameMaps, v_m, n_m, assoc_ok, pose: SE3, config: Config
-):
-    """Point-to-plane rows from FIXED correspondences: pure dense math.
-
-    Returns (J (N,6), r (N,), w (N,)) with w=0 for gated-out pixels.  The
-    distance/normal gates re-evaluate against the CURRENT pose so stale
-    pairs drop out as the estimate moves.
-    """
-    v_w = pose.apply(live.vertices)               # live vertices in world
-    n_w = pose.rotate(live.normals)
-
-    diff = v_w - v_m
-    dist = jnp.linalg.norm(diff, axis=-1)
-    n_dot = jnp.sum(n_w * n_m, axis=-1)
-    gate = (
-        assoc_ok
-        & (dist < config.icp_dist_thresh)
-        & (n_dot > config.icp_normal_thresh)
-    )
-    r = jnp.sum(n_m * diff, axis=-1)
-    J = jnp.concatenate([jnp.cross(v_w, n_m), n_m], axis=-1)  # (H,W,6)
-    w = jnp.where(gate, _huber_weight(r, config.icp_huber_delta), 0.0)
-    return (
-        J.reshape(-1, 6),
-        r.reshape(-1),
-        w.reshape(-1),
-    )
-
-
-def depth_rows(
-    live: FrameMaps, model: ModelMaps, pose: SE3, config: Config
-):
-    """Associate + rows in one call (reference-style per-iteration path)."""
-    v_m, n_m, ok = associate_depth(live, model, pose, config)
-    return depth_rows_fixed(live, v_m, n_m, ok, pose, config)
-
-
 def _pp_normal_eqs(live: FrameMaps, v_m, n_m, assoc_ok, pose: SE3,
                    config: Config):
     """Point-to-plane 6x6 normal equations as 27 FUSED planar reductions.
@@ -619,56 +579,6 @@ def _fused_normal_eqs(j, r, w):
     err = sums[-2]
     cnt = sums[-1]
     return H, b, err, cnt
-
-
-def color_rows(
-    live: FrameMaps, model: ModelMaps, pose: SE3, config: Config
-):
-    """Photometric rows: r = I_model(pi(T v_live)) - I_live(u).
-
-    The reference's ``ColorTracker`` [M].  Model intensity and its image
-    gradient are sampled bilinearly; the chain rule goes through the model
-    projection.
-    """
-    v_live = live.vertices
-    live_ok = (live.depth > config.depth_min) & (live.depth < config.depth_max)
-    i_live = live.intensity
-
-    v_w = pose.apply(v_live)
-    p_m = model.world_to_cam.apply(v_w)
-    uv = model.camera.project(p_m)
-
-    i_m, inb = _sample_bilinear(model.intensity, uv)
-    _, ok_m = _sample_nearest_masked(
-        model.intensity, model.valid, uv
-    )
-
-    # Image gradients of model intensity (central differences, bilinear).
-    gx, _ = _sample_bilinear(model.intensity, uv + jnp.asarray([0.5, 0.0]))
-    gx2, _ = _sample_bilinear(model.intensity, uv - jnp.asarray([0.5, 0.0]))
-    gy, _ = _sample_bilinear(model.intensity, uv + jnp.asarray([0.0, 0.5]))
-    gy2, _ = _sample_bilinear(model.intensity, uv - jnp.asarray([0.0, 0.5]))
-    grad = jnp.stack([gx - gx2, gy - gy2], axis=-1)           # dI/d(uv)
-
-    x, y, z = p_m[..., 0], p_m[..., 1], p_m[..., 2]
-    zc = jnp.maximum(z, 1e-6)
-    fx, fy = model.camera.fx, model.camera.fy
-    # d(uv)/d(p_m): standard pinhole Jacobian.
-    du = jnp.stack([fx / zc, jnp.zeros_like(zc), -fx * x / (zc * zc)], -1)
-    dv = jnp.stack([jnp.zeros_like(zc), fy / zc, -fy * y / (zc * zc)], -1)
-    g_p = grad[..., 0:1] * du + grad[..., 1:2] * dv           # dI/dp_m (3,)
-    # dp_m/dxi = R_m^{-1} [ -[v_w]x | I ].
-    g_w = model.world_to_cam.inverse().rotate(g_p)            # back to world
-    J = jnp.concatenate([jnp.cross(v_w, g_w), g_w], axis=-1)
-    r = i_m - i_live
-    gate = live_ok & inb & ok_m & (z > 0.0)
-    w = jnp.where(gate, _huber_weight(r, config.rgb_huber_delta), 0.0)
-    s = config.rgb_weight
-    return (
-        (s * J).reshape(-1, 6),
-        (s * r).reshape(-1),
-        w.reshape(-1),
-    )
 
 
 def intensity_grads(intensity: jax.Array):
@@ -758,14 +668,6 @@ def color_rows_fixed(
         s * gwx, s * gwy, s * gwz,           # [g]
     )
     return j, s * r, w
-
-
-def normal_equations(J, r, w):
-    """H = J^T W J (6x6), b = J^T W r (6,) -- one MXU matmul each."""
-    Jw = J * w[:, None]
-    H = jnp.matmul(Jw.T, J, precision=Precision.HIGHEST)
-    b = jnp.matmul(Jw.T, r, precision=Precision.HIGHEST)
-    return H, b
 
 
 def solve_gn(H, b, damping):
