@@ -7,6 +7,7 @@ translation error after returning to the start view -- the number that
 grows with accumulated pose error, where ATE can hide it).
 
 Run: python tools/bench_drift.py [n_frames=120] [--scene=desk|orbit]
+     [--mode=depth|combined]
 """
 import json
 import sys
@@ -37,9 +38,12 @@ from vulcan_tpu.utils.runtime import prefetch_to_device
 def main():
     n = 120
     scene = "orbit"
+    mode = "depth"
     for a in sys.argv[1:]:
         if a.startswith("--scene="):
             scene = a.split("=", 1)[1]
+        elif a.startswith("--mode="):
+            mode = a.split("=", 1)[1]
         elif a.isdigit():
             n = int(a)
     h, w = 480, 640
@@ -82,7 +86,7 @@ def main():
     print("tracking...", file=sys.stderr)
     t0 = time.perf_counter()
     for d, c in prefetch_to_device(frames):
-        state = fusion.step(state, d, c, config)
+        state = fusion.step(state, d, c, config, mode)
         est.append(jnp.array(state.pose.translation))
     jax.block_until_ready(est[-1])
     dt = time.perf_counter() - t0
@@ -93,6 +97,7 @@ def main():
     frame_err = np.linalg.norm(est - gt, axis=1)
     out = {
         "scene": scene,
+        "mode": mode,
         "frames": n,
         "fps_incl_compile": round((n - 1) / dt, 2),
         "ate_rmse_m": round(float(ate_rmse(est, gt)), 5),

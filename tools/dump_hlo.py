@@ -21,6 +21,7 @@ from vulcan_tpu.pipeline import fusion
 
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/step_hlo.txt"
+    mode = sys.argv[2] if len(sys.argv) > 2 else "depth"
     h, w = 480, 640
     config = Config()
     camera = PinholeCamera.tum_default()
@@ -30,7 +31,7 @@ def main():
     lowered = jax.jit(
         fusion.step, static_argnames=("config", "mode"),
         donate_argnames=("state",),
-    ).lower(state, d, c, config, "depth")
+    ).lower(state, d, c, config, mode)
     compiled = lowered.compile()
     txt = compiled.as_text()
     with open(out, "w") as f:

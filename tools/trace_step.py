@@ -26,6 +26,7 @@ def main():
     shape = sys.argv[1] if len(sys.argv) > 1 else "120x160"
     preset = sys.argv[2] if len(sys.argv) > 2 else "tiny"
     outdir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/jax_trace"
+    mode = sys.argv[4] if len(sys.argv) > 4 else "depth"
     h, w = (int(x) for x in shape.split("x"))
     config = TINY if preset == "tiny" else Config()
 
@@ -39,12 +40,12 @@ def main():
 
     state = fusion.init_state(config, camera, h, w, init_pose=poses[0])
     for d, c in frames[:5]:
-        state = fusion.step(state, d, c, config)
+        state = fusion.step(state, d, c, config, mode)
     jax.block_until_ready(state.model.depth)
 
     with jax.profiler.trace(outdir):
         for d, c in frames[5:]:
-            state = fusion.step(state, d, c, config)
+            state = fusion.step(state, d, c, config, mode)
         jax.block_until_ready(state.model.depth)
 
     # Parse xplane: sum self-durations per op on device planes.

@@ -18,7 +18,7 @@ collectives over ICI):
     chip-local; a block-sharded volume would turn every sample into an
     all-gather over ICI.  The only measurement possible here
     (tools/bench_multichip.py, 8 virtual devices on ONE physical CPU
-    core) shows the sharded program executing correctly but 3.9x slower
+    core) shows the sharded program executing correctly but ~7x slower
     end-to-end than single-device -- that number characterizes
     virtual-device emulation overhead, not ICI scaling, and no scaling
     claim is made beyond "compiles and runs with the intended shardings".
