@@ -259,3 +259,61 @@ def test_track_with_patched_association():
     assert bool(res.valid)
     assert rot_err < 0.2, rot_err
     assert t_err < 0.005, t_err
+
+
+def test_patched_photometric_samples_match_flat():
+    """Combined-mode fused patch gather: at an integer-pixel warp (pose ==
+    model pose, same camera) the nearest sample IS the bilinear sample, so
+    the fused i_m0/gu/gv must match color_assoc's to the 16-bit
+    quantization step wherever both associate."""
+    true_pose = look_at((1.4, 0.3, 0.5), (0.0, 0.0, 0.0))
+    frame = scene_frame(true_pose)
+    pyr = build_pyramid(frame, CFG)
+    live = pyr[0]
+    model = icp.model_from_frame_maps(pyr[0], true_pose)
+    grads = icp.intensity_grads(model.intensity)
+
+    assoc = icp._PatchAssoc(model, photo=True)
+    v_p, n_p, ok_p, samples = icp.associate_depth_patched(
+        live, model, true_pose, CFG, assoc
+    )
+    i_p, gu_p, gv_p, u0, v0, ok_s = samples
+    i_f, gu_f, gv_f, uf, vf, ok_f = icp.color_assoc(
+        live, model, grads, true_pose, CFG
+    )
+    both = np.asarray(ok_s) & np.asarray(ok_f)
+    assert both.sum() > 5000
+    for got, want, name in (
+        (i_p, i_f, "intensity"), (gu_p, gu_f, "gu"), (gv_p, gv_f, "gv")
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got)[both], np.asarray(want)[both],
+            atol=3e-4, err_msg=name,
+        )
+    # The geometric outputs are untouched by the photometric columns.
+    v_f2, n_f2, ok_f2 = icp.associate_depth(live, model, true_pose, CFG)
+    g_both = np.asarray(ok_p) & np.asarray(ok_f2)
+    np.testing.assert_array_equal(
+        np.asarray(v_p)[g_both], np.asarray(v_f2)[g_both]
+    )
+
+
+def test_track_combined_with_patched_association():
+    """Full combined-mode coarse-to-fine track with assoc_patch forced on
+    (the TPU path: photometric samples ride the one-hot patch gather)
+    recovers a perturbed pose."""
+    cfg = dataclasses.replace(CFG, assoc_patch="on")
+    true_pose = look_at((1.4, 0.3, 0.5), (0.0, 0.0, 0.0))
+    frame = scene_frame(true_pose)
+    pyr_model = build_pyramid(frame, cfg)
+    model_pyr = tuple(
+        icp.model_from_frame_maps(m, true_pose) for m in pyr_model
+    )
+    live_pyr = build_pyramid(frame, cfg)
+    xi = np.asarray([0.03, -0.03, 0.02, 0.02, -0.02, 0.02])
+    init = SE3.exp(jnp.asarray(xi, jnp.float32)) @ true_pose
+    res = icp.track(live_pyr, model_pyr, init, cfg, "combined")
+    rot_err, t_err = pose_error(res.pose, true_pose)
+    assert bool(res.valid)
+    assert rot_err < 0.2, rot_err
+    assert t_err < 0.005, t_err

@@ -138,8 +138,11 @@ class Config:
                                        # non-coarsest levels: "auto"
                                        # (one-hot MXU patch gather on
                                        # TPU, flat elsewhere), "on",
-                                       # "off".  See ops/icp.py
-                                       # _PatchAssoc.
+                                       # "off", "geom" (patch the
+                                       # geometric maps but keep the
+                                       # photometric samples on the
+                                       # flat bilinear path).  See
+                                       # ops/icp.py _PatchAssoc.
     coarse_patch_after: int = 2        # at the COARSEST level, flat
                                        # association rounds before
                                        # switching to frozen-window

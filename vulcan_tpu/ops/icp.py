@@ -362,18 +362,57 @@ class _PatchAssoc:
 
     Windows are computed from the FIRST round's warp and reused by later
     rounds (the pose moves sub-pixel between rounds; the +-12 px / +-32
-    px window slack absorbs it, and drifted-out pixels just drop)."""
+    px window slack absorbs it, and drifted-out pixels just drop).
 
-    def __init__(self, model: ModelMaps):
+    ``photo=True`` (combined mode): the photometric samples ride the
+    SAME one-hot matmul as the geometric maps.  The 3x3 neighborhoods
+    of the model intensity AND its two gradient images (16-bit,
+    1/65535 steps over [0,1] / [-0.5,0.5], two values per int32) pack
+    to 14 extra maps, so the dot gains 56 byte-columns -- the MXU
+    processes up to 128 output columns per pass, so the marginal cost
+    is small, versus the ~14 flat gathers/px/round the bilinear
+    ``color_assoc`` path paid (measured 3x the whole geometric assoc
+    budget in combined mode).  The bilinear 2x2 footprint around the
+    warp point is ALWAYS inside the 3x3 around the rounded gather
+    pixel, so blending each gathered 3x3 with f32 hat weights
+    reconstructs the flat path's bilinear samples EXACTLY (up to the
+    16-bit quantization).  Tried and REVERTED cheaper variants, both
+    measurably degrading tracking on the desk orbit (the photometric
+    term is the only brake on the dominant-plane slide, so small
+    per-frame sample bias compounds): nearest-only samples (desk ATE
+    0.047 -> 0.16 m; per-frame pair error 1.28 -> 1.79 mm,
+    tools/exp_photo_patch.py) and bilinear intensity with
+    nearest/axis-interpolated gradients (ATE 0.047 -> 0.15 m)."""
+
+    def __init__(self, model: ModelMaps, photo: bool = False):
         self.model = model
         Hm, Wm = model.valid.shape
         self.Hm, self.Wm = Hm, Wm
         self.Wt = max(-(-Wm // 32), _AP_TILES)
         self.Hp = max(Hm, _AP_ROWS)
-        pads = [
-            _pad_to(m, self.Hp, self.Wt * 32, 0)
-            for m in (model.vpack1, model.vpack2, model.npack)
-        ]
+        maps = [model.vpack1, model.vpack2, model.npack]
+        if photo:
+            from .preprocess import _shift2d
+
+            gx, gy = intensity_grads(model.intensity)
+            halves = []
+            for img, lo in ((model.intensity, 0.0), (gx, -0.5), (gy, -0.5)):
+                q = jnp.clip(
+                    jnp.round((img - lo) * 65535.0), 0, 65535
+                ).astype(jnp.int32)
+                # 3x3 neighborhood in row-major (dy, dx) order.
+                halves += [
+                    _shift2d(q, dy, dx, fill=0)
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                ]
+            halves.append(jnp.zeros_like(halves[0]))
+            maps += [
+                (halves[2 * k] << 16) | halves[2 * k + 1]
+                for k in range(len(halves) // 2)
+            ]
+        self.n_maps = len(maps)
+        pads = [_pad_to(m, self.Hp, self.Wt * 32, 0) for m in maps]
         # One stacked tile buffer: row r of map k lives at k*Hp*Wt + r.
         self.tiles = jnp.concatenate(
             [p.reshape(self.Hp * self.Wt, 32) for p in pads], axis=0
@@ -409,11 +448,12 @@ class _PatchAssoc:
         )                                           # (T, 32, 3)
         T = rid.shape[0]
         off = self.Hp * self.Wt
+        M = self.n_maps
         rids = jnp.stack(
-            [rid + k * off for k in range(3)], axis=0
-        ).reshape(-1)                               # 3 maps x T*96 rows
-        rows = self.tiles[rids].reshape(3, T, _AP_ROWS, _AP_TILES, 32)
-        patch = rows.transpose(1, 2, 3, 4, 0).reshape(T, _AP_P, 3)
+            [rid + k * off for k in range(M)], axis=0
+        ).reshape(-1)                               # M maps x T*96 rows
+        rows = self.tiles[rids].reshape(M, T, _AP_ROWS, _AP_TILES, 32)
+        patch = rows.transpose(1, 2, 3, 4, 0).reshape(T, _AP_P, M)
         # Twelve 8-BIT value columns (4 bytes per map): byte-sliced
         # payloads are exact on the single-pass bf16 MXU path, unlike
         # 16-bit halves which need Precision.HIGHEST (6x the passes) to
@@ -426,7 +466,7 @@ class _PatchAssoc:
                 patch & 0xFF,
             ],
             axis=-1,
-        ).astype(jnp.bfloat16)                         # (T, P, 12)
+        ).astype(jnp.bfloat16)                         # (T, P, 4*M)
         return self
 
     def gather(self, uv, ok, Ht, Wt_live, Hs, Ws):
@@ -460,10 +500,11 @@ class _PatchAssoc:
             onehot, self.rhs,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)                         # (T, 256, 12)
-        b0, b1 = vals[..., 0:3], vals[..., 3:6]
-        b2, b3 = vals[..., 6:9], vals[..., 9:12]
-        packed = (b0 << 24) | (b1 << 16) | (b2 << 8) | b3  # (T, 256, 3)
+        ).astype(jnp.int32)                         # (T, 256, 4*M)
+        M = self.n_maps
+        b0, b1 = vals[..., 0:M], vals[..., M:2 * M]
+        b2, b3 = vals[..., 2 * M:3 * M], vals[..., 3 * M:4 * M]
+        packed = (b0 << 24) | (b1 << 16) | (b2 << 8) | b3  # (T, 256, M)
         out = _from_tiles(packed, Ht, Wt_live, Hs, Ws)
         p1, p2, npack = out[..., 0], out[..., 1], out[..., 2]
         mvx, mvy, mvz = _unpack_vertices(p1, p2, self.model.origin)
@@ -473,7 +514,42 @@ class _PatchAssoc:
         )[..., 0]
         v_mv = jnp.stack([mvx, mvy, mvz], axis=-1)
         n_mv = jnp.stack([nx, ny, nz], axis=-1)
-        return v_mv, n_mv, ok_full & okn
+        if M == 3:
+            return v_mv, n_mv, ok_full & okn, None
+        # Photometric: decode the gathered 3x3 neighborhoods of
+        # (intensity, gx, gy) (row-major (dy, dx), two 16-bit values per
+        # word) and blend each with f32 hat weights around the rounded
+        # gather pixel -- the bilinear 2x2 footprint is always inside
+        # the 3x3, so this reproduces the flat path's bilinear samples
+        # at the warp point exactly (up to the 16-bit quantization).
+        s = 1.0 / 65535.0
+        halves = []
+        for k in range(27):
+            word = out[..., 3 + k // 2]
+            half = (word >> 16) if k % 2 == 0 else word
+            halves.append((half & 0xFFFF).astype(jnp.float32) * s)
+        u = uv[..., 0][: out.shape[0], : out.shape[1]]
+        v = uv[..., 1][: out.shape[0], : out.shape[1]]
+        du = u - jnp.round(u)
+        dv = v - jnp.round(v)
+        wu = [
+            jnp.maximum(0.0, 1.0 - jnp.abs(du - k)) for k in (-1.0, 0.0, 1.0)
+        ]
+        wv = [
+            jnp.maximum(0.0, 1.0 - jnp.abs(dv - k)) for k in (-1.0, 0.0, 1.0)
+        ]
+
+        def blend(n9, lo):
+            acc = jnp.zeros_like(u)
+            for ky in range(3):
+                for kx in range(3):
+                    acc = acc + wv[ky] * wu[kx] * n9[3 * ky + kx]
+            return acc + lo
+
+        i_m0 = blend(halves[0:9], 0.0)
+        gu = blend(halves[9:18], -0.5)
+        gv = blend(halves[18:27], -0.5)
+        return v_mv, n_mv, ok_full & okn, (i_m0, gu, gv)
 
 
 def _warp_uv(live: FrameMaps, model: ModelMaps, pose: SE3, config: Config):
@@ -493,7 +569,13 @@ def associate_depth_patched(
     live: FrameMaps, model: ModelMaps, pose: SE3, config: Config,
     assoc: _PatchAssoc,
 ):
-    """Patch/one-hot projective association (see _PatchAssoc)."""
+    """Patch/one-hot projective association (see _PatchAssoc).
+
+    When ``assoc`` carries photometric maps (combined mode), the fourth
+    return value is the fixed-sample tuple for ``color_rows_fixed``
+    (i_m0, gu, gv, u0, v0, ok) gathered by the SAME one-hot matmul --
+    i_m0 is the exact bilinear sample at the warp point (u0, v0) = (u, v)
+    reconstructed from the gathered 3x3 neighborhood (see _PatchAssoc)."""
     uv, ok = _warp_uv(live, model, pose, config)
     Hs, Ws = uv.shape[:2]
     Ht = -(-Hs // _AT_H)
@@ -504,8 +586,20 @@ def associate_depth_patched(
     okp = _pad_to(ok, Ht * _AT_H, Wt_live * _AT_W, False)
     if assoc.windows is None:
         assoc.freeze_windows(uvp, okp, Ht, Wt_live)
-    v_m, n_m, ok_m = assoc.gather(uvp, okp, Ht, Wt_live, Hs, Ws)
-    return v_m, n_m, ok_m & ok
+    v_m, n_m, ok_m, photo = assoc.gather(uvp, okp, Ht, Wt_live, Hs, Ws)
+    if photo is None:
+        return v_m, n_m, ok_m & ok
+    i_m0, gu, gv = photo
+    u0, v0 = uv[..., 0], uv[..., 1]
+    # Match the flat bilinear path's footprint gate: all four
+    # interpolation neighbors in bounds (the 3x3 shifted maps are
+    # zero-filled at the image border).
+    inb = (
+        (u0 >= 0.0) & (u0 < assoc.Wm - 1.0)
+        & (v0 >= 0.0) & (v0 < assoc.Hm - 1.0)
+    )
+    samples = (i_m0, gu, gv, u0, v0, ok_m & ok & inb)
+    return v_m, n_m, ok_m & ok, samples
 
 
 def _pp_normal_eqs(live: FrameMaps, v_m, n_m, assoc_ok, pose: SE3,
@@ -739,7 +833,7 @@ def track(
         # At the coarsest level, the FIRST ``coarse_patch_after``
         # rounds stay flat (wide basin), later rounds re-associate
         # a nearly converged warp through frozen patch windows.
-        patch_ok = config.assoc_patch == "on" or (
+        patch_ok = config.assoc_patch in ("on", "geom") or (
             config.assoc_patch == "auto"
             and jax.default_backend() == "tpu"
         )
@@ -750,27 +844,35 @@ def track(
             else (config.coarse_patch_after if patch_ok else rounds)
         )
         geometric = mode in ("depth", "combined")
+        grads = intensity_grads(model.intensity) if mode != "depth" else None
         assoc_state = (
-            _PatchAssoc(model)
+            _PatchAssoc(
+                model,
+                photo=(
+                    mode == "combined" and config.assoc_patch != "geom"
+                ),
+            )
             if geometric and patch_ok and patch_from < rounds
             else None
         )
-        grads = intensity_grads(model.intensity) if mode != "depth" else None
 
         for _round in range(rounds):
+            samples = None
             if geometric:
                 if _round >= patch_from:
-                    v_m, n_m, ok = associate_depth_patched(
+                    got = associate_depth_patched(
                         live, model, pose, config, assoc_state
                     )
+                    if len(got) == 4:      # fused photometric samples
+                        v_m, n_m, ok, samples = got
+                    else:
+                        v_m, n_m, ok = got
                 else:
                     v_m, n_m, ok = associate_depth(live, model, pose, config)
             else:
                 v_m = n_m = ok = None
-            samples = (
-                color_assoc(live, model, grads, pose, config)
-                if mode != "depth" else None
-            )
+            if mode != "depth" and samples is None:
+                samples = color_assoc(live, model, grads, pose, config)
 
             def body_fixed(
                 _, carry, v_m=v_m, n_m=n_m, ok=ok, samples=samples
