@@ -297,6 +297,34 @@ def test_patched_photometric_samples_match_flat():
         np.asarray(v_p)[g_both], np.asarray(v_f2)[g_both]
     )
 
+    # NON-integer warp (a small pose perturbation): the hat-weight blend
+    # of the gathered 3x3 must still reproduce the flat path's bilinear
+    # samples exactly up to quantization -- sub-pixel offsets exercise
+    # every branch of the 2x2-inside-3x3 footprint.  (Cheaper fused
+    # estimators matched at integer warps but diverged here, and that
+    # 10% per-frame bias tripled the desk-orbit ATE; see _PatchAssoc.)
+    xi = np.asarray([0.004, -0.006, 0.005, 0.003, -0.004, 0.006],
+                    np.float32)
+    pose2 = SE3.exp(jnp.asarray(xi)) @ true_pose
+    assoc2 = icp._PatchAssoc(model, photo=True)
+    _, _, _, samples2 = icp.associate_depth_patched(
+        live, model, pose2, CFG, assoc2
+    )
+    i_p2, gu_p2, gv_p2, _, _, ok_s2 = samples2
+    i_f2, gu_f2, gv_f2, _, _, ok_fl2 = icp.color_assoc(
+        live, model, grads, pose2, CFG
+    )
+    both2 = np.asarray(ok_s2) & np.asarray(ok_fl2)
+    assert both2.sum() > 5000
+    for got, want, name in (
+        (i_p2, i_f2, "intensity"), (gu_p2, gu_f2, "gu"),
+        (gv_p2, gv_f2, "gv"),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got)[both2], np.asarray(want)[both2],
+            atol=3e-4, err_msg=name,
+        )
+
 
 def test_track_combined_with_patched_association():
     """Full combined-mode coarse-to-fine track with assoc_patch forced on
