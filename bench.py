@@ -215,6 +215,17 @@ def main():
         if a.startswith("--reps="):
             reps = int(a.split("=", 1)[1])
 
+    def barrier(state):
+        """True device barrier: block on a FRESH reduction of the final
+        model depth.  ``block_until_ready(state.model.depth)`` is NOT
+        sufficient on this platform -- the donated/aliased output buffer
+        can report ready before the step that writes it has executed,
+        which once timed a 15-dispatch combined-mode loop at 674 "FPS"
+        (the work actually ran after the timer, inside the diagnostics
+        int() casts).  Summing forces a new computation that cannot be
+        served before the depth values exist."""
+        jnp.sum(state.model.depth).block_until_ready()
+
     def one_rep():
         """Fresh state, warmup, timed loop.  Returns (fps, est, state)."""
         state = fusion.init_state(config, camera, h, w, init_pose=poses[0])
@@ -223,7 +234,7 @@ def main():
         ):
             state = run_one(state, d, c)
             dbg(f"warm {i}", state)
-        jax.block_until_ready(state.model.depth)
+        barrier(state)
 
         est = []  # device arrays; kept lazy -- never forces a sync
         t0 = time.perf_counter()
@@ -236,7 +247,7 @@ def main():
                 # Explicit device copy: the raw buffer is donated (and
                 # thus deleted) by the next step.
                 est.append(jnp.array(state.pose.translation))
-        jax.block_until_ready(state.model.depth)
+        barrier(state)
         return n_bench_g / (time.perf_counter() - t0), est, state
 
     # Best-of-N reps (identical full pipeline runs from a fresh state):
