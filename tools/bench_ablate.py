@@ -19,6 +19,7 @@ setup_cache()
 import dataclasses
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from vulcan_tpu.config import Config
@@ -54,11 +55,11 @@ def main():
         state = fusion.init_state(config, camera, h, w, init_pose=poses[0])
         for d, c in prefetch_to_device(frames[:5]):
             state = fusion.step(state, d, c, config)
-        jax.block_until_ready(state.model.depth)
+        jnp.sum(state.model.depth).block_until_ready()
         t0 = time.perf_counter()
         for d, c in prefetch_to_device(frames[5:]):
             state = fusion.step(state, d, c, config)
-        jax.block_until_ready(state.model.depth)
+        jnp.sum(state.model.depth).block_until_ready()
         ms = (time.perf_counter() - t0) / n * 1e3
         if ablate == "":
             base = ms

@@ -88,7 +88,7 @@ def main():
     for d, c in prefetch_to_device(frames):
         state = fusion.step(state, d, c, config, mode)
         est.append(jnp.array(state.pose.translation))
-    jax.block_until_ready(est[-1])
+    jnp.sum(est[-1]).block_until_ready()
     dt = time.perf_counter() - t0
 
     est = np.stack([np.asarray(e) for e in est])

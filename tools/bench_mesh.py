@@ -44,7 +44,7 @@ def main():
         state = fusion.step_known_pose(
             state, jnp.asarray(d), jnp.asarray(c), pose, config
         )
-    jax.block_until_ready(state.model.depth)
+    jnp.sum(state.model.depth).block_until_ready()
     n_alloc = int(state.volume.free_count) - 1
     print(f"fused {n_frames} frames, {n_alloc} blocks allocated "
           f"(capacity {config.num_blocks})")

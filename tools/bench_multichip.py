@@ -23,6 +23,7 @@ os.environ["XLA_FLAGS"] = (
 ).strip()
 
 import jax
+import jax.numpy as jnp
 
 jax.config.update("jax_platforms", "cpu")
 try:
@@ -56,12 +57,12 @@ def run_steps(n_devices: int, frames, camera, h, w, n_time: int):
     put = lambda d, c: (jax.device_put(d, rows), jax.device_put(c, rows))
     for d, c in frames[:2]:
         state = step(state, *put(d, c))
-    jax.block_until_ready(state.model.depth)
+    jax.block_until_ready(jnp.sum(state.model.depth))
     t0 = time.perf_counter()
     for _ in range(n_time):
         for d, c in frames[2:]:
             state = step(state, *put(d, c))
-    jax.block_until_ready(state.model.depth)
+    jax.block_until_ready(jnp.sum(state.model.depth))
     per = (time.perf_counter() - t0) / (n_time * len(frames[2:])) * 1e3
     return per
 
