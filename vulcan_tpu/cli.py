@@ -188,8 +188,11 @@ def cmd_run(args):
             pipe.process(depth, color, pose=pose)
         if i == 0:
             import jax
+            import jax.numpy as jnp
 
-            jax.block_until_ready(pipe.state.model.depth)
+            # Sum-barrier: readiness of the donated output buffer can
+            # report early on some platforms (see bench.py barrier()).
+            jax.block_until_ready(jnp.sum(pipe.state.model.depth))
             t_loop = time.perf_counter()  # exclude compile from FPS
         n_done += 1
         if gt_pose is not None:
@@ -207,8 +210,9 @@ def cmd_run(args):
             print(json.dumps(d))
 
     import jax
+    import jax.numpy as jnp
 
-    jax.block_until_ready(pipe.state.model.depth)
+    jax.block_until_ready(jnp.sum(pipe.state.model.depth))
     if trace_ctx is not None:
         trace_ctx.__exit__(None, None, None)
     elapsed = time.perf_counter() - (t_loop or time.perf_counter())
