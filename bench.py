@@ -14,9 +14,10 @@ Scenes (``--scene=``):
     transfer check that the headline number is not scene-cherry-picked
     (VERDICT round-2 item 2).
 
-Modes (``--mode=``): ``depth`` (geometric ICP, default) or ``combined``
+Modes (``--mode=``): ``depth`` (geometric ICP, default), ``combined``
 (geometric + photometric tracking with model-color rendering on --
-VERDICT round-2 item 3).
+VERDICT round-2 item 3), or ``light`` (combined + per-frame SH
+illumination-gain estimation, ops/light.py).
 
 Prints ONE JSON line:
   {"metric": ..., "value": fps, "unit": "fps", "vs_baseline": fps/30}

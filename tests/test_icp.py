@@ -345,3 +345,63 @@ def test_track_combined_with_patched_association():
     assert bool(res.valid)
     assert rot_err < 0.2, rot_err
     assert t_err < 0.005, t_err
+
+
+def test_depth_flat_mask_cuts_silhouettes_and_keeps_interiors():
+    """_depth_flat_mask: silhouette-adjacent and invalid-adjacent pixels
+    are photometrically invalid; flat interiors survive (the splat
+    renderer's color is untrustworthy near depth discontinuities --
+    hole-fill diffusion + mixed fore/background winner voxels)."""
+    h, w = 32, 48
+    depth = jnp.full((h, w), 2.0)
+    # A foreground square 1 m closer.
+    depth = depth.at[10:20, 12:24].set(1.0)
+    valid = jnp.ones((h, w), bool)
+    # An invalid hole.
+    valid = valid.at[25, 40].set(False)
+    m = np.asarray(icp._depth_flat_mask(depth, valid, reach=2, thresh=0.05))
+    # Interior of the foreground square and the far background survive.
+    assert m[15, 18] and m[5, 5] and m[28, 10]
+    # Pixels within reach=2 of the depth step are cut, on BOTH sides.
+    assert not m[10, 18] and not m[9, 18] and not m[11, 18]
+    assert not m[20, 18] and not m[19, 18] and not m[21, 18]
+    # Pixels within reach of the invalid hole are cut; the hole itself too.
+    assert not m[25, 40] and not m[25, 39] and not m[24, 40] and not m[27, 40]
+    # But 3+ pixels away from the hole survive.
+    assert m[25, 36] and m[21, 40]
+    # Image border (half-window out of bounds) is conservative-invalid.
+    assert not m[0, 20] and not m[20, 0]
+
+
+def test_model_pyramid_photometric_mask_erodes_only_intensity_path():
+    """model_pyramid with intensity erodes ModelMaps.valid near depth
+    steps but leaves the packed geometric valid bit (npack) untouched."""
+    true_pose = look_at((1.4, 0.3, 0.5), (0.0, 0.0, 0.0))
+    frame = scene_frame(true_pose)
+    pyr = build_pyramid(frame, CFG)
+    m0 = icp.model_from_frame_maps(pyr[0], true_pose)
+    # A Render-like object via the splat Render class is heavyweight;
+    # drive model_pyramid directly with a fake Render built from maps.
+    from vulcan_tpu.ops.raycast import Render
+
+    fm = pyr[0]
+    ok = fm.depth > 0
+    v = true_pose.apply(fm.vertices)
+    n = true_pose.rotate(fm.normals)
+    render = Render(
+        depth=fm.depth,
+        vx=v[..., 0], vy=v[..., 1], vz=v[..., 2],
+        nx=n[..., 0], ny=n[..., 1], nz=n[..., 2],
+        color=frame.color,
+        valid=ok,
+        camera=fm.camera,
+        pose=true_pose,
+    )
+    mp = icp.model_pyramid(render, CFG.pyramid_levels, with_intensity=True)
+    n_geo = int(np.asarray((mp[0].npack >> 30) > 0).sum())
+    n_photo = int(np.asarray(mp[0].valid).sum())
+    n_raw = int(np.asarray(ok).sum())
+    assert n_geo == n_raw                  # geometric bit not eroded
+    assert 0 < n_photo < n_raw             # photometric mask eroded
+    # Erosion is bounded: this scene's silhouettes are a small fraction.
+    assert n_photo > 0.5 * n_raw

@@ -12,9 +12,13 @@ from .config import Config
 from .core.camera import PinholeCamera
 from .core.frame import Frame, make_frame
 from .core.se3 import SE3
+from .ops.light import Light
 from .pipeline.api import (
+    ColorTracker,
+    DepthTracker,
     Extractor,
     Integrator,
+    LightTracker,
     Pipeline,
     Tracer,
     Tracker,
@@ -33,6 +37,10 @@ __all__ = [
     "Integrator",
     "Tracer",
     "Tracker",
+    "DepthTracker",
+    "ColorTracker",
+    "LightTracker",
+    "Light",
     "Extractor",
     "Pipeline",
 ]

@@ -40,7 +40,7 @@ def build_parser():
     r.add_argument("--voxel-size", type=float, default=None)
     r.add_argument("--trunc", type=float, default=None)
     r.add_argument("--mode", default="depth",
-                   choices=["depth", "color", "combined"])
+                   choices=["depth", "color", "combined", "light"])
     r.add_argument("--known-poses", action="store_true",
                    help="fusion-only with ground-truth poses")
     r.add_argument("--mesh-out", help="write final mesh PLY here")

@@ -169,8 +169,50 @@ def _unpack_normals(p: jax.Array):
     )
 
 
+def _depth_flat_mask(
+    depth: jax.Array, valid: jax.Array, reach: int = 2, thresh: float = 0.05
+) -> jax.Array:
+    """True where no pixel within ``reach`` sits on a depth DISCONTINUITY
+    (a one-step neighbor jump above ``thresh`` meters) or is invalid.
+
+    The criterion is the per-step jump, NOT the window's total depth
+    range: a smooth slanted surface (a floor at grazing angle) has a
+    large range but small per-step jumps and must KEEP its photometric
+    samples -- dominant planes are exactly where the photometric term
+    rescues the point-to-plane degeneracy (PERFORMANCE.md desk section).
+    A fore/background silhouette is a single large jump.  ``thresh``
+    defaults near the TSDF truncation band: two samples of one
+    continuous fused surface cannot be further apart than the band.
+    Bad seeds (jump or invalid) are dilated by separable max passes."""
+    from .preprocess import _shift2d
+
+    jump = jnp.zeros_like(depth, dtype=bool)
+    for dy, dx in ((0, 1), (1, 0)):
+        nb = _shift2d(depth, dy, dx, fill=0.0)
+        nb_ok = _shift2d(valid, dy, dx, fill=False)
+        j = nb_ok & (jnp.abs(depth - nb) > thresh)
+        # Mark both sides of the step (the shifted copy covers the
+        # neighbor's side).
+        jump = jump | j | _shift2d(j, -dy, -dx, fill=False)
+    bad = ~valid | jump
+    for axis in (0, 1):
+        grown = bad
+        for s in range(1, reach + 1):
+            sh = (s, 0) if axis == 0 else (0, s)
+            grown = (
+                grown
+                | _shift2d(bad, sh[0], sh[1], fill=True)
+                | _shift2d(bad, -sh[0], -sh[1], fill=True)
+            )
+        bad = grown
+    return valid & ~bad
+
+
 def model_pyramid(
-    render: Render, levels: int, with_intensity: bool = True
+    render: Render,
+    levels: int,
+    with_intensity: bool = True,
+    flat_thresh: float = 0.05,
 ) -> tuple[ModelMaps, ...]:
     """Build model map pyramid from a raycast by nearest subsampling.
 
@@ -186,6 +228,20 @@ def model_pyramid(
     npack = _pack_normals(render.nx, render.ny, render.nz, render.valid)
     c = intensity_from_color(render.color) if with_intensity else None
     ok = render.valid
+    if with_intensity:
+        # Photometric validity = geometric validity MINUS depth
+        # discontinuities: the splat renderer's color near silhouettes is
+        # untrustworthy (hole-fill diffusion + mixed fore/background
+        # winner voxels), and those one-sided errors dominate the
+        # coarse-level photometric normal equations -- measured on the
+        # 3-sphere closed loop, combined-mode per-frame bias at truth is
+        # 0.0092 with the raw mask vs 0.0032 with silhouette pixels cut
+        # (depth-only: 0.0020).  ``ok`` gates ONLY the photometric
+        # samples (geometric association reads the packed npack bit),
+        # so eroding it costs no geometric inliers.
+        ok = ok & _depth_flat_mask(
+            render.depth, render.valid, thresh=flat_thresh
+        )
     cam = render.camera
     w2c = render.pose.inverse()
     maps = []
@@ -783,10 +839,16 @@ def track(
 ) -> TrackResult:
     """Coarse-to-fine GN over the pyramid; fully on device, zero syncs.
 
-    ``mode``: "depth" (geometric point-to-plane), "color" (photometric), or
-    "combined" (sum of both normal equations).
+    ``mode``: "depth" (geometric point-to-plane), "color" (photometric),
+    "combined" (sum of both normal equations), or "light" (combined with
+    the photometric model prediction scaled by an SH illumination gain
+    field re-estimated at every association round -- ops/light.py,
+    reference component #20 ``LightTracker``).
     """
+    from . import light as light_ops
+
     pose = init_pose
+    light_coeffs = None  # mode="light": refit at every association round
 
     err = jnp.zeros(())
     inl = jnp.zeros(())
@@ -843,13 +905,14 @@ def track(
             0 if use_patch
             else (config.coarse_patch_after if patch_ok else rounds)
         )
-        geometric = mode in ("depth", "combined")
+        geometric = mode in ("depth", "combined", "light")
         grads = intensity_grads(model.intensity) if mode != "depth" else None
         assoc_state = (
             _PatchAssoc(
                 model,
                 photo=(
-                    mode == "combined" and config.assoc_patch != "geom"
+                    mode in ("combined", "light")
+                    and config.assoc_patch != "geom"
                 ),
             )
             if geometric and patch_ok and patch_from < rounds
@@ -873,6 +936,23 @@ def track(
                 v_m = n_m = ok = None
             if mode != "depth" and samples is None:
                 samples = color_assoc(live, model, grads, pose, config)
+            if mode == "light":
+                # Re-estimate the illumination gain at EVERY association
+                # round (pose frozen during the estimate): each refit sees
+                # a tighter warp, so residual misalignment stops leaking
+                # into the 9 lighting DoF as the pose converges.  Measured
+                # on the relit-sphere test: once-per-level refit leaves a
+                # 0.0092 pose-error floor (stale gain fitted on the
+                # coarse-level warp), per-round refit reaches 0.0037 relit
+                # / 0.00024 unlit -- the feared pose/lighting alternation
+                # does not appear because the ridge prior anchors the fit
+                # and the gain is frozen across the inner GN iterations.
+                light_coeffs = light_ops.estimate_gain(
+                    n_m, samples[0], live.intensity, samples[5] & ok
+                )
+                samples = light_ops.scale_photo_samples(
+                    samples, n_m, light_coeffs
+                )
 
             def body_fixed(
                 _, carry, v_m=v_m, n_m=n_m, ok=ok, samples=samples

@@ -235,14 +235,15 @@ class Tracer:
 
 class Tracker:
     """Frame-to-model ICP (reference ``Tracker``/``DepthTracker``/
-    ``ColorTracker``, component #17).  ``mode``: depth | color | combined.
+    ``ColorTracker``/``LightTracker``, components #17 and #20).
+    ``mode``: depth | color | combined | light.
 
-    The reference's recalled ``LightTracker`` (photometric tracking with a
-    point-light shading model, SURVEY.md component #20) is intentionally
-    not implemented: SURVEY.md marks it low-confidence/[M]-only, the
-    reference mount was empty to verify against, and BASELINE.json's
-    contract does not mention it.  The ``color``/``combined`` modes cover
-    the photometric-tracking capability.
+    ``light`` is the TPU-native rebuild of the reference's recalled
+    ``LightTracker`` (photometric tracking under a shading model,
+    SURVEY.md component #20 [M] -- unverifiable against the empty
+    reference mount, so the light model is redesigned rather than
+    recalled: a 9-coefficient spherical-harmonics illumination gain
+    field estimated per frame by one linear solve; see ops/light.py).
     """
 
     def __init__(self, config: Config = Config(), mode: str = "depth"):
@@ -264,6 +265,30 @@ class Tracker:
             with_intensity=(self.mode != "depth"),
         )
         return _icp.track(live_pyr, model_pyr, init, self.config, self.mode)
+
+
+class DepthTracker(Tracker):
+    """Geometric point-to-plane ICP (reference ``DepthTracker`` [M])."""
+
+    def __init__(self, config: Config = Config()):
+        super().__init__(config, mode="depth")
+
+
+class ColorTracker(Tracker):
+    """Photometric tracking (reference ``ColorTracker`` [M]); in practice
+    use ``mode="combined"`` via the base class -- pure photometric
+    tracking has no depth term to anchor scale-degenerate motion."""
+
+    def __init__(self, config: Config = Config()):
+        super().__init__(config, mode="color")
+
+
+class LightTracker(Tracker):
+    """Combined tracking with per-frame SH illumination-gain estimation
+    (reference ``LightTracker`` [M], component #20; ops/light.py)."""
+
+    def __init__(self, config: Config = Config()):
+        super().__init__(config, mode="light")
 
 
 class Extractor:

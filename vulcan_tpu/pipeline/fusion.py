@@ -240,6 +240,10 @@ def _step_impl(
         model_pyr = icp.model_pyramid(
             state.model, config.pyramid_levels,
             with_intensity=(mode != "depth"),
+            # Silhouette erosion threshold for the photometric mask,
+            # scaled so coarse-voxel configs (whose surfaces carry
+            # voxel-size depth quantization) do not erode everything.
+            flat_thresh=max(0.05, 6.0 * config.voxel_size),
         )
         result = icp.track(
             live_pyr, model_pyr, predict_pose(state, config), config, mode
