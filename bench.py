@@ -258,6 +258,20 @@ def main():
     # accuracy metrics come from the first rep (all reps are identical
     # computations on identical inputs).
     print("compiling + warmup...", file=sys.stderr)
+
+    # Tunnel warm: a FRESH PROCESS under-reads far beyond the rep spread
+    # (cold process measured rep_fps [12.7, 16.3]; the next process, same
+    # session, [17.3, 20.8, 34.5, 32.0] -- identical computation, hot
+    # compile cache).  The ramp is per-process host/tunnel state spanning
+    # ~50+ dispatches, so burn it on an untimed throwaway-state loop
+    # before any timed rep; ~2-4 s, and the driver's one-shot cold run
+    # measures the pipeline instead of the tunnel.
+    warm_state = fusion.init_state(config, camera, h, w, init_pose=poses[0])
+    for _ in range(30):
+        for d, c in prefetch_to_device(groups(frames[:n_warm_g])):
+            warm_state = run_one(warm_state, d, c)
+    barrier(warm_state)
+    del warm_state
     rep_fps = []
     for rep in range(max(1, reps)):
         print(f"benchmarking (rep {rep + 1}/{reps})...", file=sys.stderr)
