@@ -27,13 +27,17 @@ def sphere_frame(pose):
 
 
 def fuse(volume, frame):
+    return fuse_cfg(volume, frame, CFG)
+
+
+def fuse_cfg(volume, frame, cfg):
     volume, _, _ = allocate.allocate_for_frame(
-        volume, frame.depth, frame.camera, frame.pose, CFG
+        volume, frame.depth, frame.camera, frame.pose, cfg
     )
     volume = allocate.update_visibility(
-        volume, frame.camera, frame.pose, H, W, CFG
+        volume, frame.camera, frame.pose, H, W, cfg
     )
-    return sparse.integrate_sparse(volume, frame, CFG)
+    return sparse.integrate_sparse(volume, frame, cfg)
 
 
 def test_allocation_covers_truncation_band():
@@ -421,3 +425,65 @@ def test_splat_surfels_matches_direct():
     # 15-bit surfel tsdf quantization: |dz| <= mu * 2/32767 ~ 5 um.
     dz = np.abs(np.asarray(za)[hit] - np.asarray(zb)[hit])
     assert dz.max() < 1e-5, dz.max()
+
+
+def test_splat_luma_matches_rgb():
+    """The single-pass packed z+luma surfel render agrees with the
+    two-pass rgb path: depth to the 19-bit quantization step, intensity
+    to the 12-bit step wherever the winning surfel is unambiguous (a
+    shared 9.5 um depth bin may resolve to a different same-surface
+    surfel; the rgb path itself accepts either winner within 1e-5 m)."""
+    cfg = dataclasses.replace(CFG, surfel_slots=512)
+    vol = blocks.create_volume(cfg)
+    poses = orbit_poses(3, CENTER, radius=1.6, height=0.2, span=0.3)
+    for pose in poses:
+        vol = fuse_cfg(vol, sphere_frame(pose), cfg)
+    from vulcan_tpu.ops import splat
+
+    pose = poses[-1]
+    zb, cb = splat._splat_zbuf_surfels(
+        vol, CAM, pose, H, W, cfg, with_color=True
+    )
+    word = splat._splat_zbuf_surfels(vol, CAM, pose, H, W, cfg, luma=True)
+    zl, il = splat._decode_luma_zbuf(word, cfg)
+
+    hit = np.isfinite(np.asarray(zb))
+    assert hit.sum() > 2000
+    assert (hit == np.isfinite(np.asarray(zl))).all()
+    zstep = cfg.ray_far / float(splat._ZQ_MAX)
+    dz = np.abs(np.asarray(zb)[hit] - np.asarray(zl)[hit])
+    assert dz.max() < zstep + 1e-6, dz.max()
+
+    c = np.asarray(cb)[hit]
+    lum_rgb = (
+        0.299 * ((c >> 16) & 0xFF)
+        + 0.587 * ((c >> 8) & 0xFF)
+        + 0.114 * (c & 0xFF)
+    ) / 255.0
+    dl = np.abs(np.asarray(il)[hit] - lum_rgb)
+    # Unambiguous winners agree to the 12-bit step; allow a tiny tail of
+    # same-bin ties resolving to a different same-surface surfel.
+    assert np.quantile(dl, 0.99) < 1.5 / 4095.0, np.quantile(dl, 0.99)
+    assert dl.max() < 0.1, dl.max()
+
+
+def test_pipeline_luma_model_render():
+    """fusion.step with mode="combined" and model_color="luma" produces a
+    grey model.color whose intensity equals the packed render, and the
+    tracker consumes it (inliers accumulate)."""
+    from vulcan_tpu.pipeline import fusion
+
+    cfg = dataclasses.replace(CFG, model_color="luma")
+    poses = orbit_poses(4, CENTER, radius=1.6, height=0.2, span=0.2)
+    state = fusion.init_state(cfg, CAM, H, W, init_pose=poses[0])
+    for pose in poses[:1]:
+        d, c = render_sphere_depth(CAM, pose, H, W, CENTER, RADIUS)
+        state = fusion.step_known_pose(state, d, c, pose, cfg)
+    for pose in poses[1:]:
+        d, c = render_sphere_depth(CAM, pose, H, W, CENTER, RADIUS)
+        state = fusion.step(state, d, c, cfg, mode="combined")
+    col = np.asarray(state.model.color)
+    assert (col[..., 0] == col[..., 1]).all()
+    assert (col[..., 1] == col[..., 2]).all()
+    assert int(state.track_inliers) > 500
+    assert int(state.track_failures) == 0

@@ -98,6 +98,18 @@ class Config:
                                        # (views near the fused
                                        # trajectory see no leakage, and
                                        # culling thins silhouettes)
+    model_color: str = "luma"          # online-pipeline model-render color:
+                                       # "luma" (grey intensity via the
+                                       # single-pass packed z+luma surfel
+                                       # scatter -- the photometric tracker
+                                       # reduces color to intensity anyway;
+                                       # half the color-splat scatter lanes,
+                                       # no z-buffer re-gather) or "rgb"
+                                       # (two-pass rgb888 winner scatter;
+                                       # use when inspecting state.model
+                                       # .color as a real color image).
+                                       # Explicit Tracer.trace calls always
+                                       # render rgb.
     splat_polish: int = 0              # trilinear snap rounds (0 = off:
                                        #   one linear secant over a +-2
                                        #   voxel bracket MOVES depth wrong
@@ -217,6 +229,7 @@ class Config:
         assert self.mesh_chunk & (self.mesh_chunk - 1) == 0, (
             "mesh_chunk must be a power of 2 (chunked-loop divisibility)"
         )
+        assert self.model_color in ("luma", "rgb"), self.model_color
         assert 0.0 <= float(self.motion_prediction) <= 1.0, (
             "motion_prediction is an extrapolation fraction in [0, 1] "
             "(values above 0.5 risk tracking instability -- see "

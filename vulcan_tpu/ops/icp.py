@@ -754,18 +754,73 @@ def color_assoc(
     first-order re-linearizations of ``color_rows_fixed`` -- the same
     warp-once trade the geometric path makes (association gathers
     dominate ICP cost on TPU; the reference re-samples every iteration).
-    """
+
+    (I, gx, gy, valid) ride TWO packed int32 words (16-bit fixed point,
+    the same 1/65535 grid the fused patch path quantizes to), so each
+    bilinear sample costs 8 random gathers instead of the 13 of three
+    separate f32 images + a nearest validity probe -- this path runs
+    the coarsest level's first ``coarse_patch_after`` global-motion
+    rounds on TPU (~0.46M gathers/frame at the flat rate) and every
+    round of the CPU / ``assoc_patch="geom"`` control.  The dense pack
+    is pose-independent; XLA CSEs it across association rounds."""
     gx_img, gy_img = grads
+    s = 65535.0
+    iq = jnp.clip(jnp.round(model.intensity * s), 0, 65535).astype(
+        jnp.int32
+    )
+    gxq = jnp.clip(jnp.round((gx_img + 0.5) * s), 0, 65535).astype(
+        jnp.int32
+    )
+    gyq = jnp.clip(jnp.round((gy_img + 0.5) * s), 0, 65535).astype(
+        jnp.int32
+    )
+    wa = (iq << 16) | gxq            # may wrap negative; decoded via & mask
+    wb = (gyq << 16) | model.valid.astype(jnp.int32)
+
     v_w = pose.apply(live.vertices)
     p_m = model.world_to_cam.apply(v_w)
     uv = model.camera.project(p_m)
+    h, w = model.intensity.shape
+    u = uv[..., 0]
+    v = uv[..., 1]
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = u - u0
+    fv = v - v0
+    u0 = u0.astype(jnp.int32)
+    v0 = v0.astype(jnp.int32)
+    inb = (u0 >= 0) & (u0 + 1 < w) & (v0 >= 0) & (v0 + 1 < h)
+    uc = jnp.clip(u0, 0, w - 2)
+    vc = jnp.clip(v0, 0, h - 2)
+    a00, a01 = wa[vc, uc], wa[vc, uc + 1]
+    a10, a11 = wa[vc + 1, uc], wa[vc + 1, uc + 1]
+    b00, b01 = wb[vc, uc], wb[vc, uc + 1]
+    b10, b11 = wb[vc + 1, uc], wb[vc + 1, uc + 1]
 
-    i_m0, inb = _sample_bilinear(model.intensity, uv)
-    _, ok_m = _sample_nearest_masked(model.intensity, model.valid, uv)
-    gu, _ = _sample_bilinear(gx_img, uv)
-    gv, _ = _sample_bilinear(gy_img, uv)
-    ok = inb & ok_m & (p_m[..., 2] > 0.0)
-    return i_m0, gu, gv, uv[..., 0], uv[..., 1], ok
+    w00 = (1.0 - fu) * (1.0 - fv)
+    w01 = fu * (1.0 - fv)
+    w10 = (1.0 - fu) * fv
+    w11 = fu * fv
+    inv = 1.0 / s
+
+    def blend(x00, x01, x10, x11, shift, lo):
+        def d(x):
+            return ((x >> shift) & 0xFFFF).astype(jnp.float32) * inv + lo
+
+        return w00 * d(x00) + w01 * d(x01) + w10 * d(x10) + w11 * d(x11)
+
+    i_m0 = blend(a00, a01, a10, a11, 16, 0.0)
+    gu = blend(a00, a01, a10, a11, 0, -0.5)
+    gv = blend(b00, b01, b10, b11, 16, -0.5)
+    # Nearest-pixel validity (same semantics as _sample_nearest_masked:
+    # the tap nearest the warp point), read from wb's valid bit.
+    vb = jnp.where(
+        fv >= 0.5,
+        jnp.where(fu >= 0.5, b11, b10),
+        jnp.where(fu >= 0.5, b01, b00),
+    )
+    ok = inb & ((vb & 1) > 0) & (p_m[..., 2] > 0.0)
+    return i_m0, gu, gv, u, v, ok
 
 
 def color_rows_fixed(

@@ -544,13 +544,19 @@ def render(
     config: Config,
     normals: str = "cross",
     with_color: bool = True,
+    color_space: str = "rgb",
 ) -> Render:
-    """Render model maps with the configured renderer (march or splat)."""
+    """Render model maps with the configured renderer (march or splat).
+
+    ``color_space="luma"`` is honored by the splat surfel-color path
+    (grey intensity render, single-pass packed scatter -- see
+    ops/splat.py); the march renderer always renders rgb."""
     if config.render_mode == "splat":
         from . import splat
 
         return splat.render_splat(
-            volume, camera, pose, height, width, config, normals, with_color
+            volume, camera, pose, height, width, config, normals,
+            with_color, color_space=color_space,
         )
     return raycast(
         volume, camera, pose, height, width, config, normals, with_color

@@ -91,6 +91,31 @@ def _surfel_block_list(volume: B.VolumeState, config: Config):
     return compact_mask(has_surf, ids, V, jnp.int32(0)), n_surf
 
 
+_ZQ_BITS = 19                       # packed-luma depth quantization bits
+_ZQ_MAX = (1 << _ZQ_BITS) - 1       # depth step = ray_far / _ZQ_MAX
+                                    # (9.5 um at the 5 m default -- below
+                                    # the ICP model maps' own 15 um
+                                    # vertex packing, so invisible to
+                                    # tracking)
+_LUMA_EMPTY = 0x7FFFFFFF             # packed-luma z-buffer init value
+                                     # (python int, not a module-level
+                                     # jnp array: weak-typed in traces)
+
+
+def _decode_luma_zbuf(word: jax.Array, config: Config):
+    """Packed (zq19 << 12 | i12) -> (depth f32 w/ +inf empty, intensity)."""
+    valid = word != _LUMA_EMPTY
+    depth = jnp.where(
+        valid,
+        (word >> 12).astype(jnp.float32) * (config.ray_far / _ZQ_MAX),
+        jnp.inf,
+    )
+    inten = jnp.where(
+        valid, (word & 0xFFF).astype(jnp.float32) * (1.0 / 4095.0), 0.0
+    )
+    return depth, inten
+
+
 def _splat_zbuf_surfels(
     volume: B.VolumeState,
     camera: PinholeCamera,
@@ -99,6 +124,7 @@ def _splat_zbuf_surfels(
     width: int,
     config: Config,
     with_color: bool = False,
+    luma: bool = False,
 ):
     """Z-buffer from the persistent per-block surfel lists.
 
@@ -114,6 +140,21 @@ def _splat_zbuf_surfels(
     (the render-cache build this replaces re-gathered 729-voxel halos
     of every visible block each frame, ~10x the lanes of the surfel
     scatter).  Returns zbuf, or (zbuf, colorbuf int32 (-1 = no color)).
+
+    ``luma=True`` (the online combined/light tracking path) collapses
+    depth AND intensity into ONE scatter-min of a packed int32 word,
+    ``zq19 << 12 | luma12``: the photometric tracker only ever consumes
+    the model render as INTENSITY, so rgb888 fidelity buys nothing
+    there, while the packed word halves the scatter lanes of the
+    two-pass rgb path and removes its z-buffer re-gather entirely.
+    Smaller word wins = nearest depth wins; surfels tied at the same
+    9.5 um depth bin resolve to the darker intensity (same-surface
+    ties -- the rgb path already accepts either winner within a 1e-5 m
+    slack).  Depth is quantized to ray_far/2^19: an order below both
+    the splat renderer's output noise and the ICP maps' 15 um vertex
+    packing.  12-bit intensity is FINER than the 8-bit-rgb-derived
+    intensity the rgb path feeds the tracker.  Returns the packed
+    int32 buffer (decode with ``_decode_luma_zbuf``).
     """
     vs = config.voxel_size
     mu = config.trunc_dist
@@ -131,7 +172,8 @@ def _splat_zbuf_surfels(
     def scatter_tier(buf, ids_list, n_list, s_lo, s_hi, chunk, zref=None):
         """Scatter surfel slots [s_lo, s_hi) of the listed blocks.
 
-        zref=None: min-z scatter into ``buf`` (f32 z-buffer).
+        zref=None, luma=False: min-z scatter into ``buf`` (f32 z-buffer).
+        zref=None, luma=True: packed (zq|luma) scatter-min (int32 buf).
         zref=zbuf: color scatter into ``buf`` (int32 rgb888 buffer) at
         the surfels whose depth won the z-buffer."""
         C = min(chunk, ids_list.shape[0])
@@ -195,20 +237,16 @@ def _splat_zbuf_surfels(
             ).astype(jnp.int32)
             inb = (u >= 0) & (u < width) & (v >= 0) & (v < height) & zok
             pix = jnp.where(inb, v * width + u, height * width)
-            if zref is None:
+            if zref is None and not luma:
                 buf = buf.at[pix.reshape(-1)].min(
                     jnp.where(inb, z_surf, jnp.inf).reshape(-1),
                     mode="drop",
                 )
                 return i + 1, buf
 
-            # Color pass: voxel rgb888 selected within the gathered
-            # colorpack rows by one-hot byte-column matmul (exact on
-            # the bf16 MXU path), scattered where this surfel's depth
-            # matches the z-buffer winner.  1e-5 m slack absorbs any
-            # cross-fusion float reassociation; a near-tie then writes
-            # either surfel's color (max of rgb888 -- both are the
-            # same surface).
+            # Voxel rgb888 selected within the gathered colorpack rows
+            # by one-hot byte-column matmul (exact on the bf16 MXU
+            # path).
             cp = jnp.take(volume.colorpack, ids, axis=0)     # (C, 512)
             rhs = jnp.stack(
                 [(cp >> 16) & 0xFF, (cp >> 8) & 0xFF, cp & 0xFF],
@@ -223,6 +261,34 @@ def _splat_zbuf_surfels(
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             ).astype(jnp.int32)                              # (C, s, 3)
+
+            if luma:
+                # Single-pass packed z+intensity scatter (see docstring).
+                lum = (
+                    0.299 * rgb[..., 0]
+                    + 0.587 * rgb[..., 1]
+                    + 0.114 * rgb[..., 2]
+                ) * (1.0 / 255.0)
+                i12 = jnp.clip(
+                    jnp.round(lum * 4095.0), 0, 4095
+                ).astype(jnp.int32)
+                zq = jnp.clip(
+                    jnp.round(z_surf * (_ZQ_MAX / config.ray_far)),
+                    0,
+                    _ZQ_MAX - 1,   # keep word strictly below _LUMA_EMPTY
+                ).astype(jnp.int32)
+                word = (zq << 12) | i12
+                buf = buf.at[pix.reshape(-1)].min(
+                    jnp.where(inb, word, _LUMA_EMPTY).reshape(-1),
+                    mode="drop",
+                )
+                return i + 1, buf
+
+            # Color pass (rgb two-pass path): scattered where this
+            # surfel's depth matches the z-buffer winner.  1e-5 m slack
+            # absorbs any cross-fusion float reassociation; a near-tie
+            # then writes either surfel's color (max of rgb888 -- both
+            # are the same surface).
             rgb888 = (
                 (rgb[..., 0] << 16) | (rgb[..., 1] << 8) | rgb[..., 2]
             )
@@ -249,6 +315,11 @@ def _splat_zbuf_surfels(
     rowv = (jnp.arange(V, dtype=jnp.int32) < n_surf) & full
     ids2 = compact_mask(rowv, render_ids, V, jnp.int32(0))
     n2 = jnp.sum(rowv).astype(jnp.int32)
+
+    if luma:
+        wbuf0 = jnp.full((height * width,), _LUMA_EMPTY, jnp.int32)
+        wbuf = scatter_tier(wbuf0, render_ids, n_surf, 0, s1, 2048)
+        return scatter_tier(wbuf, ids2, n2, s1, S, 512)
 
     zbuf = scatter_tier(zbuf0, render_ids, n_surf, 0, s1, 2048)
     zbuf = scatter_tier(zbuf, ids2, n2, s1, S, 512)
@@ -563,8 +634,16 @@ def render_splat(
     normals: str = "cross",
     with_color: bool = True,
     cache: RC.RenderCache | None = None,
+    color_space: str = "rgb",
 ) -> Render:
-    """Render model maps by surfel splatting (see module docstring)."""
+    """Render model maps by surfel splatting (see module docstring).
+
+    ``color_space="luma"`` (online combined/light tracking): the model
+    color is rendered as a grey intensity image by the single-pass
+    packed z+luma scatter (see ``_splat_zbuf_surfels``) -- the
+    photometric tracker reduces the color to intensity anyway, and the
+    packed pass halves the color-splat scatter lanes.  Falls back to
+    the rgb path whenever the surfel color pass is unavailable."""
     vs = config.voxel_size
     # The cache is only needed for trilinear work (polish, gradient
     # normals) -- and for color ONLY on the non-surfel sources: the
@@ -585,12 +664,18 @@ def render_splat(
         or (with_color and not surfel_color)
     )
     cbuf = None
+    ibuf = None
     if need_cache:
         if cache is None:
             cache = RC.build(volume, config)
         zbuf = _splat_zbuf_cached(
             volume, cache, camera, pose, height, width, config
         )
+    elif surfel_color and color_space == "luma":
+        wbuf = _splat_zbuf_surfels(
+            volume, camera, pose, height, width, config, luma=True
+        )
+        zbuf, ibuf = _decode_luma_zbuf(wbuf, config)
     elif surfel_color:
         zbuf, cbuf = _splat_zbuf_surfels(
             volume, camera, pose, height, width, config, with_color=True
@@ -687,7 +772,31 @@ def render_splat(
         ny = jnp.where(good & n_ok, sy_ * inv, ny)
         nz = jnp.where(good & n_ok, sz_ * inv, nz)
 
-    if with_color and cbuf is not None:
+    if with_color and ibuf is not None:
+        # Luma path: diffuse intensity into depth-hole-filled pixels
+        # (same reach and reason as the rgb diffusion below), then
+        # broadcast grey -- intensity_from_color of (i, i, i) is i
+        # exactly, so the photometric tracker sees the packed intensity
+        # unchanged.  The broadcast is one dense write (~4 MB at
+        # 640x480), nothing gathers from it per element.
+        inten = ibuf.reshape(height, width)
+        i_ok = has      # pre-fill scatter validity (= packed-word hits)
+        for _ in range(config.splat_fill_rounds):
+            okf = i_ok.astype(jnp.float32)
+            acc = inten * okf
+            cnt = okf
+            for ddy in (-1, 0, 1):
+                for ddx in (-1, 0, 1):
+                    if ddx == 0 and ddy == 0:
+                        continue
+                    acc = acc + _shift2d(inten * okf, ddy, ddx)
+                    cnt = cnt + _shift2d(okf, ddy, ddx)
+            grown = cnt > 0.0
+            fill = acc / jnp.maximum(cnt, 1.0)
+            inten = jnp.where(~i_ok & grown, fill, inten)
+            i_ok = i_ok | grown
+        color = jnp.broadcast_to(inten[..., None], (height, width, 3))
+    elif with_color and cbuf is not None:
         cimg = cbuf.reshape(height, width)
         c_ok = cimg >= 0
         color = jnp.where(

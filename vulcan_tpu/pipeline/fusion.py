@@ -117,6 +117,10 @@ def _fuse_and_render(
         render = raycast.render(
             volume, frame.camera, frame.pose, h, w, config,
             with_color=with_color,
+            # The online pipeline's model render is consumed by the
+            # photometric tracker as INTENSITY only; the packed luma
+            # splat renders it in one scatter pass (ops/splat.py).
+            color_space=config.model_color,
         )
     else:
         render = None
