@@ -52,7 +52,8 @@ def main():
     ablate = ""
     scene = "orbit"
     mode = "depth"
-    seq = 2  # frames per dispatch (fusion.step_seq); 1 = plain step
+    seq = 0  # frames per dispatch (fusion.step_seq); 1 = plain step,
+             # 0 = per-scene default (see below)
     n_frames = 0  # 0 = scene default
     for a in sys.argv[1:]:
         if a.startswith("--ablate="):
@@ -173,8 +174,14 @@ def main():
     from vulcan_tpu.utils.runtime import prefetch_to_device
 
     track_est = noisy or scene == "desk"
-    if track_est and seq != 1:
-        seq = 1  # per-frame pose sampling needs per-frame dispatches
+    if seq == 0:
+        # Per-scene default, both measured (PERFORMANCE.md pass 8):
+        # short runs (30-frame orbit, incl. --noise) gain from halving
+        # dispatch count (noise 27.2 -> 30.3 FPS at seq=2); the
+        # 240-frame desk run keeps its dispatch queue deep enough that
+        # per-frame dispatch latency is fully hidden and the scan only
+        # adds overhead (25.4 FPS at seq=1 vs 21.6 at seq=2).
+        seq = 1 if scene == "desk" else 2
 
     def groups(fs):
         """Group frames into step_seq batches of ``seq``."""
@@ -189,8 +196,14 @@ def main():
         ]
 
     def run_one(state, d, c):
+        """Returns (state, (k, 3) per-frame pose translations)."""
         if seq == 1:
-            return fusion.step(state, d, c, config, mode)
+            state = fusion.step(state, d, c, config, mode)
+            # Explicit device copy: the raw pose buffer is donated
+            # (and thus deleted) by the next step.
+            return state, jnp.array(state.pose.translation)[None]
+        # step_seq scans the translations out as a fresh (k, 3) output
+        # (not aliased to donated state), so no copy is needed.
         return fusion.step_seq(state, d, c, config, mode)
 
     debug = "--debug" in sys.argv
@@ -233,7 +246,7 @@ def main():
         for i, (d, c) in enumerate(
             prefetch_to_device(groups(frames[:n_warm_g]))
         ):
-            state = run_one(state, d, c)
+            state, _ = run_one(state, d, c)
             dbg(f"warm {i}", state)
         barrier(state)
 
@@ -242,12 +255,10 @@ def main():
         for i, (d, c) in enumerate(prefetch_to_device(
             groups(frames[n_warm : n_warm + n_bench_g])
         )):
-            state = run_one(state, d, c)
+            state, tr = run_one(state, d, c)
             dbg(f"bench {i}", state)
             if track_est:
-                # Explicit device copy: the raw buffer is donated (and
-                # thus deleted) by the next step.
-                est.append(jnp.array(state.pose.translation))
+                est.append(tr)
         barrier(state)
         return n_bench_g / (time.perf_counter() - t0), est, state
 
@@ -269,7 +280,7 @@ def main():
     warm_state = fusion.init_state(config, camera, h, w, init_pose=poses[0])
     for _ in range(30):
         for d, c in prefetch_to_device(groups(frames[:n_warm_g])):
-            warm_state = run_one(warm_state, d, c)
+            warm_state, _ = run_one(warm_state, d, c)
     barrier(warm_state)
     del warm_state
     rep_fps = []
@@ -290,7 +301,11 @@ def main():
     name += " (desk scene, full 2pi orbit" if scene == "desk" else (
         " (synthetic orbit"
     )
-    name += ", combined-mode ICP)" if mode == "combined" else ", full ICP)"
+    name += {
+        "depth": ", full ICP)",
+        "combined": ", combined-mode ICP)",
+        "light": ", light-mode ICP + SH illumination)",
+    }[mode]
     result = {
         "metric": name,
         "value": round(fps, 2),
@@ -302,12 +317,17 @@ def main():
         from vulcan_tpu.utils.evaluate import ate_rmse
 
         gt = np.stack(
-            [np.asarray(p.translation) for p in poses[n_warm:]]
+            [
+                np.asarray(p.translation)
+                for p in poses[n_warm : n_warm + n_bench_g]
+            ]
         )
         if noisy:
             result["metric"] += " [Kinect-noise depth]"
         result["ate_rmse_m"] = round(
-            float(ate_rmse(np.stack([np.asarray(e) for e in est]), gt)), 5
+            float(ate_rmse(
+                np.concatenate([np.asarray(e) for e in est]), gt
+            )), 5
         )
         assert int(state.track_failures) == 0, int(state.track_failures)
     print(json.dumps(result))

@@ -350,13 +350,19 @@ def test_step_seq_matches_step():
     s_a = fusion.init_state(CFG, CAM, H, W, init_pose=poses[0])
     s_b = fusion.init_state(CFG, CAM, H, W, init_pose=poses[0])
 
+    tr_a = []
     for d, c in frames:
         s_a = fusion.step(s_a, d, c, CFG)
+        tr_a.append(np.asarray(s_a.pose.translation))
     ds = jnp.stack([d for d, _ in frames])
     cs = jnp.stack([c for _, c in frames])
-    s_b = fusion.step_seq(s_b, ds, cs, CFG)
+    s_b, tr_b = fusion.step_seq(s_b, ds, cs, CFG)
 
     assert int(s_b.frame_idx) == int(s_a.frame_idx) == 2
+    # Scanned-out per-frame translations match the per-step poses.
+    np.testing.assert_allclose(
+        np.asarray(tr_b), np.stack(tr_a), atol=1e-7
+    )
     np.testing.assert_allclose(
         np.asarray(s_b.pose.translation),
         np.asarray(s_a.pose.translation), atol=1e-7,

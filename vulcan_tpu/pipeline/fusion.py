@@ -182,21 +182,26 @@ def step_seq(
     colors: jax.Array,
     config: Config,
     mode: str = "depth",
-) -> PipelineState:
+) -> tuple[PipelineState, jax.Array]:
     """Process a short frame SEQUENCE (k, H, W[,3]) in one dispatch.
 
     Identical per-frame math to ``step`` (a lax.scan of it), but one
     host->device dispatch per k frames: the tunnel's per-dispatch
     latency (~several ms) is a real throughput cost at 30+ FPS, and a
     streaming pipeline naturally has the next frames in flight.
+
+    Returns ``(state, translations)`` with ``translations`` of shape
+    (k, 3): the tracked pose translation after each frame, scanned out
+    so trajectory evaluation (ATE) does not force the caller back to
+    per-frame dispatches.
     """
 
     def body(st, dc):
         d, c = dc
-        return _step_impl(st, d, c, config, mode), None
+        st = _step_impl(st, d, c, config, mode)
+        return st, st.pose.translation
 
-    state, _ = jax.lax.scan(body, state, (depths, colors))
-    return state
+    return jax.lax.scan(body, state, (depths, colors))
 
 
 @partial(
