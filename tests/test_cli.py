@@ -165,3 +165,15 @@ def test_cli_traj_out_and_mesh_subcommand(tmp_path, capsys):
 def test_cli_mesh_subcommand_bad_snapshot(tmp_path, capsys):
     assert main(["mesh", str(tmp_path / "no.npz"), "--out",
                  str(tmp_path / "m.ply")]) == 1
+
+
+def test_cli_mesh_every_online(capsys):
+    """--mesh-every folds periodic colored-mesh extraction into the
+    online loop (BASELINE.json config 5) and reports the extraction
+    count + latest triangle count."""
+    rc, report = _run_cli(
+        ARGS_COMMON + ["--synthetic", "5", "--mesh-every", "2"], capsys
+    )
+    assert rc == 0
+    assert report["mesh_extractions"] == 2  # frames 2 and 4
+    assert report["mesh_triangles_online"] > 0

@@ -405,3 +405,57 @@ def test_model_pyramid_photometric_mask_erodes_only_intensity_path():
     assert 0 < n_photo < n_raw             # photometric mask eroded
     # Erosion is bounded: this scene's silhouettes are a small fraction.
     assert n_photo > 0.5 * n_raw
+
+
+def _track_self(depth, color, pose, mode="depth"):
+    """Track a frame against an ideal model of itself from the true pose
+    (isolates the 6x6 system's conditioning from convergence effects)."""
+    frame = make_frame(depth, color, CAM, pose)
+    pyr = build_pyramid(frame, CFG, with_intensity=(mode != "depth"))
+    model_pyr = tuple(
+        icp.model_from_frame_maps(m, pose) for m in pyr
+    )
+    return icp.track(pyr, model_pyr, pose, CFG, mode)
+
+
+def test_degeneracy_detector_fires_on_dominant_plane():
+    """The demonstrated silent failure (PERFORMANCE.md desk analysis):
+    point-to-plane ICP on a plane-dominated view has a 3-DoF null space
+    and SLIDES while error/inliers look perfect.  The observability
+    score (smallest normalized eigenvalue of the 6x6, TrackResult
+    .level_degen) must drop orders of magnitude below healthy scenes --
+    it is the only diagnostic that can see this failure mode.
+
+    Measured calibration (this scene setup): bare floor finest level
+    ~0.0018; sphere scene >= 0.39; combined-mode floor (procedural
+    texture) ~0.076.  Config.degen_min_eig sits between."""
+    pose = look_at((1.2, 0.2, 0.4), (0.0, 0.0, -0.6))
+    depth, color = render_scene_depth(CAM, pose, H, W, (), FLOOR)
+    res = _track_self(depth, color, pose)
+    # Every magnitude health metric reads PERFECT...
+    assert int(res.inliers) > 3000
+    assert float(res.error) < 0.001
+    assert bool(res.valid)
+    # ...but the spectrum exposes the null space.
+    assert float(jnp.min(res.level_degen)) < 0.005
+    assert float(jnp.min(res.level_degen)) < CFG.degen_min_eig
+
+
+def test_degeneracy_healthy_on_constrained_scene():
+    pose = look_at((1.4, 0.3, 0.5), (0.0, 0.0, 0.0))
+    depth, color = render_scene_depth(CAM, pose, H, W, SPHERES, FLOOR)
+    res = _track_self(depth, color, pose)
+    assert float(jnp.min(res.level_degen)) > 0.05
+    assert float(jnp.min(res.level_degen)) > 5 * CFG.degen_min_eig
+
+
+def test_degeneracy_rescued_by_photometric_term():
+    """Combined-mode tracking on the SAME degenerate floor view is
+    observable again (the textured photometric rows constrain the
+    in-plane DoF) -- the score must say so, since mode="combined" is
+    the documented fix for the desk slide."""
+    pose = look_at((1.2, 0.2, 0.4), (0.0, 0.0, -0.6))
+    depth, color = render_scene_depth(CAM, pose, H, W, (), FLOOR)
+    res = _track_self(depth, color, pose, mode="combined")
+    assert float(jnp.min(res.level_degen)) > 0.02
+    assert float(jnp.min(res.level_degen)) > 2 * CFG.degen_min_eig

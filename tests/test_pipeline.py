@@ -371,3 +371,33 @@ def test_step_seq_matches_step():
         np.asarray(s_b.volume.tsdf), np.asarray(s_a.volume.tsdf)
     )
     assert int(s_b.track_inliers) == int(s_a.track_inliers)
+
+
+def test_degeneracy_hold_on_dominant_plane_scene():
+    """Closed-loop depth-only tracking on a floor-only scene: the view
+    is one dominant plane, so the pose is free to slide in-plane while
+    every magnitude health metric stays perfect (the desk-scene failure
+    demonstrated in PERFORMANCE.md).  The pipeline must (a) flag every
+    such frame in track_degen_frames, (b) HOLD fusion (slid geometry
+    must not compound into the map), and (c) NOT count it as a track
+    failure -- the track didn't fail, the scene under-constrains it."""
+    n = 8
+    poses = orbit_poses(n, (0.0, 0.0, 0.0), radius=1.6, height=0.35,
+                        span=0.12 * np.pi)
+    pipe = Pipeline(CFG, CAM, H, W, init_pose=poses[0])
+    free_after_first = None
+    for i, pose in enumerate(poses):
+        depth, color = render_scene_depth(CAM, pose, H, W, (), FLOOR)
+        pipe.process(depth, color)
+        if i == 0:
+            free_after_first = int(pipe.state.volume.free_count)
+    diag = pipe.diagnostics()
+    # Healthy-looking by every magnitude metric...
+    assert diag["track_failures"] == 0, diag
+    assert diag["track_inliers"] > 1000, diag
+    assert diag["track_error"] < 0.01, diag
+    # ...but every tracked frame is flagged degenerate and fusion held:
+    # nothing was integrated after frame 0 (block count frozen).
+    assert diag["track_degen_frames"] >= n - 2, diag
+    assert min(diag["track_level_degen"]) < CFG.degen_min_eig
+    assert int(pipe.state.volume.free_count) == free_after_first

@@ -44,6 +44,12 @@ def build_parser():
     r.add_argument("--known-poses", action="store_true",
                    help="fusion-only with ground-truth poses")
     r.add_argument("--mesh-out", help="write final mesh PLY here")
+    r.add_argument("--mesh-every", type=int, default=0, metavar="N",
+                   help="extract a colored mesh every N frames during the "
+                        "online run (BASELINE.json config 5; the periodic "
+                        "extraction cost is part of the reported FPS). "
+                        "The latest mesh replaces the previous one; with "
+                        "--mesh-out the final mesh is written as usual.")
     r.add_argument("--snapshot-out", help="write volume .npz snapshot here")
     r.add_argument("--resume", help="resume from a volume snapshot")
     r.add_argument("--eval-ate", action="store_true",
@@ -171,6 +177,17 @@ def cmd_run(args):
     n_done = 0
     t_loop = None
     trace_ctx = None
+    mesh_fn = None
+    last_mesh = None
+    n_meshed = 0
+    if args.mesh_every:
+        import jax as _jax
+
+        from .ops import mcubes as _mcubes
+
+        mesh_fn = _jax.jit(
+            _mcubes.extract_mesh, static_argnames=("config",)
+        )
     from .utils.runtime import prefetch_to_device
 
     for i, (depth, color, gt_pose) in enumerate(
@@ -193,8 +210,19 @@ def cmd_run(args):
             # Sum-barrier: readiness of the donated output buffer can
             # report early on some platforms (see bench.py barrier()).
             jax.block_until_ready(jnp.sum(pipe.state.model.depth))
+            if mesh_fn is not None:
+                # Compile the extraction before the timer starts.
+                jax.block_until_ready(
+                    mesh_fn(pipe.state.volume, config).count
+                )
             t_loop = time.perf_counter()  # exclude compile from FPS
         n_done += 1
+        if mesh_fn is not None and n_done % args.mesh_every == 0:
+            # Dispatched before the next step (in-order device stream:
+            # the extraction reads the volume before donation reuses it);
+            # stays lazy -- no host sync in the loop.
+            last_mesh = mesh_fn(pipe.state.volume, config)
+            n_meshed += 1
         if gt_pose is not None:
             est_traj.append(np.asarray(pipe.pose.translation))
             gt_traj.append(np.asarray(gt_pose.translation))
@@ -220,6 +248,10 @@ def cmd_run(args):
 
     report = {"frames": n_done, "fps": round(fps, 2)}
     report.update(pipe.diagnostics())
+    if mesh_fn is not None:
+        report["mesh_extractions"] = n_meshed
+        if last_mesh is not None:
+            report["mesh_triangles_online"] = int(last_mesh.count)
     if args.eval_ate and len(est_traj) > 2:
         from .utils.evaluate import ate_rmse
 

@@ -186,6 +186,26 @@ class Config:
     icp_min_inliers: int = 100         # fewer associated pixels => track invalid
     icp_max_error: float = 0.05        # robust rms (m) above which the track
                                        # is distrusted and fusion is skipped
+    degen_min_eig: float = 0.01        # degeneracy detector threshold: if the
+                                       # smallest eigenvalue of any level's
+                                       # diagonally normalized 6x6 system
+                                       # falls below this, the pose has an
+                                       # unobservable direction (dominant-
+                                       # plane scenes: point-to-plane ICP
+                                       # slides along the plane while error/
+                                       # inlier health stays perfect --
+                                       # PERFORMANCE.md desk analysis).  The
+                                       # frame still TRACKS (the observable
+                                       # DoF remain better than holding) but
+                                       # is NOT fused (slid geometry must not
+                                       # compound into the map) and
+                                       # track_degen_frames counts it.
+                                       # Calibration (tests/test_icp.py,
+                                       # /tmp ideal-model study): sphere
+                                       # scene 0.39, desk views 0.6-0.75,
+                                       # combined-mode floor 0.076 -- vs
+                                       # bare-floor depth-mode 0.0018.
+                                       # 0 disables.
     rgb_weight: float = 0.1            # photometric term weight ("combined")
     rgb_huber_delta: float = 0.1       # Huber width for intensity residuals
 

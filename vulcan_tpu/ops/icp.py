@@ -80,6 +80,14 @@ class TrackResult:
     level_error: jax.Array    # (levels,) robust rms per level (fine->coarse,
                               # from each level's LAST GN iteration)
     level_inliers: jax.Array  # (levels,) int32 gated pixels per level
+    level_degen: jax.Array    # (levels,) f32 observability score per level:
+                              # smallest eigenvalue of the diagonally
+                              # normalized 6x6 normal-equation matrix (1 =
+                              # perfectly conditioned, ~0 = some 6-DoF
+                              # direction unobservable).  See
+                              # _min_eig_normalized -- this is the detector
+                              # for the dominant-plane slide that error/
+                              # inlier health metrics cannot see.
 
 
 _VERTEX_SCALE = 65536.0  # 21-bit fixed-point steps/m: +-16 m at 15 um
@@ -659,7 +667,7 @@ def associate_depth_patched(
 
 
 def _pp_normal_eqs(live: FrameMaps, v_m, n_m, assoc_ok, pose: SE3,
-                   config: Config):
+                   config: Config, live_normals: bool = False):
     """Point-to-plane 6x6 normal equations as 27 FUSED planar reductions.
 
     Equivalent to depth_rows_fixed + normal_equations, but never
@@ -668,7 +676,16 @@ def _pp_normal_eqs(live: FrameMaps, v_m, n_m, assoc_ok, pose: SE3,
     upper-triangle sums of w*j_a*j_b + 6 of w*j_a*r + error/count fuse
     into one elementwise+reduce pass with no intermediate at all.
     Returns (H (6,6), b (6,), err, cnt).
-    """
+
+    ``live_normals=True`` builds J (and the residual projection) from the
+    LIVE frame's normals instead of the model's, over the SAME gated
+    correspondence set.  Used only by the degeneracy detector: the splat-
+    rendered model of a plane carries voxel-staircase normals whose
+    lattice-locked rows make the 6x6 look well-conditioned while the pose
+    is in fact free to slide by lattice periods (measured: closed-loop
+    floor scene slid 0.8 m at a "healthy" normalized min-eig of 0.1).
+    The live frame's filtered sensor normals measure what the SCENE can
+    observe, independent of model reconstruction artifacts."""
     v_w = pose.apply(live.vertices)
     n_w = pose.rotate(live.normals)
     dx = v_w[..., 0] - v_m[..., 0]
@@ -684,6 +701,8 @@ def _pp_normal_eqs(live: FrameMaps, v_m, n_m, assoc_ok, pose: SE3,
         & (dist2 < config.icp_dist_thresh**2)
         & (n_dot > config.icp_normal_thresh)
     )
+    if live_normals:
+        nx, ny, nz = n_w[..., 0], n_w[..., 1], n_w[..., 2]
     r = nx * dx + ny * dy + nz * dz
     w = jnp.where(gate, _huber_weight(r, config.icp_huber_delta), 0.0)
 
@@ -875,6 +894,34 @@ def color_rows_fixed(
     return j, s * r, w
 
 
+def _min_eig_normalized(H: jax.Array) -> jax.Array:
+    """Observability score of a 6x6 normal-equation matrix.
+
+    Returns the smallest eigenvalue of D^-1/2 H D^-1/2 (D = diag(H)) --
+    the correlation-normalized system.  Diagonal normalization makes the
+    score invariant to pixel count, residual units, and the meters-vs-
+    radians scale split between the translational and rotational blocks,
+    so one threshold works across pyramid levels and scene depths.
+
+    Why this statistic: point-to-plane ICP on a scene dominated by
+    parallel planes has a 3-dimensional null space (2 translations in
+    the plane + 1 rotation about its normal).  The per-pixel residual
+    and inlier count stay PERFECT while the pose slides along those
+    directions -- the desk-scene replay showed 6-7 cm/frame of silent
+    drift at err=0.0035 / 26k inliers (PERFORMANCE.md).  The collapse
+    is invisible to every magnitude statistic but explicit in H's
+    spectrum: the normalized smallest eigenvalue drops 2-3 orders of
+    magnitude (measured: well-constrained orbit scene ~0.1; two-plane
+    scene ~1e-4).  A 6x6 eigensolve on device costs ~nothing next to
+    the reductions that built H.
+
+    H == 0 (no inliers) returns 0 -- maximally degenerate, which the
+    inlier floors catch separately."""
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(H), 1e-20))
+    Hn = H / (d[:, None] * d[None, :])
+    return jnp.min(jnp.linalg.eigvalsh(Hn))
+
+
 def solve_gn(H, b, damping):
     """Damped Gauss-Newton step, solved on device via Cholesky."""
     d = jnp.diagonal(H)
@@ -909,6 +956,7 @@ def track(
     inl = jnp.zeros(())
     lvl_err = [jnp.zeros(())] * config.pyramid_levels
     lvl_inl = [jnp.zeros(())] * config.pyramid_levels
+    lvl_deg = [jnp.ones(())] * config.pyramid_levels
     for level in range(config.pyramid_levels - 1, -1, -1):
         live = live_pyramid[level]
         model = model_pyr[level]
@@ -1039,6 +1087,24 @@ def track(
                 0, inner, body_fixed, (pose, err, inl)
             )
         lvl_err[level], lvl_inl[level] = jnp.sqrt(err), inl
+        # Observability score for this level, at the final pose over the
+        # LAST round's active correspondence set.  The geometric part is
+        # rebuilt with LIVE normals (see _pp_normal_eqs: the model side's
+        # voxel-staircase normals fake in-plane conditioning); the
+        # photometric rows are included when present, since they are
+        # exactly what rescues a plane-degenerate view (and their absence
+        # must make the score drop).  One extra fused reduction per level
+        # per frame -- not per GN iteration.
+        if geometric:
+            H_det, _, _, _ = _pp_normal_eqs(
+                live, v_m, n_m, ok, pose, config, live_normals=True
+            )
+        else:
+            H_det = jnp.zeros((6, 6))
+        if mode != "depth":
+            jc, rc, wc = color_rows_fixed(live, samples, model, pose, config)
+            H_det = H_det + _fused_normal_eqs(jc, rc, wc)[0]
+        lvl_deg[level] = _min_eig_normalized(H_det)
 
     level_inliers = jnp.stack(lvl_inl).astype(jnp.int32)
     # Per-level inlier floors: a level operating on 4^level fewer pixels
@@ -1067,4 +1133,5 @@ def track(
         valid=(inl >= float(config.icp_min_inliers)) & levels_ok,
         level_error=jnp.stack(lvl_err),
         level_inliers=level_inliers,
+        level_degen=jnp.stack(lvl_deg),
     )

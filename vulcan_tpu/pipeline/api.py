@@ -375,6 +375,10 @@ class Pipeline:
             "track_level_inliers": [
                 int(x) for x in s.track_level_inliers
             ],
+            "track_level_degen": [
+                round(float(x), 6) for x in s.track_level_degen
+            ],
+            "track_degen_frames": int(s.track_degen_frames),
             "allocated_blocks": int(s.volume.free_count) - 1,
             "visible_blocks": int(s.volume.num_visible),
             "alloc_overflow": int(s.volume.alloc_overflow),

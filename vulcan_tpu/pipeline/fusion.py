@@ -54,6 +54,11 @@ class PipelineState:
     track_failures: jax.Array  # () int32, frames skipped by the fusion gate
     track_level_error: jax.Array    # (levels,) per-level robust rms
     track_level_inliers: jax.Array  # (levels,) int32
+    track_level_degen: jax.Array    # (levels,) f32 observability score
+                                    # (icp._min_eig_normalized; ~0 =
+                                    # unobservable pose direction)
+    track_degen_frames: jax.Array   # () int32, frames tracked under a
+                                    # detected degeneracy (fusion held)
 
     @property
     def pose(self) -> SE3:
@@ -87,6 +92,8 @@ def init_state(
         track_failures=jnp.asarray(0, jnp.int32),
         track_level_error=jnp.zeros((config.pyramid_levels,), jnp.float32),
         track_level_inliers=jnp.zeros((config.pyramid_levels,), jnp.int32),
+        track_level_degen=jnp.ones((config.pyramid_levels,), jnp.float32),
+        track_degen_frames=jnp.asarray(0, jnp.int32),
     )
     # Deep-copy every leaf: jax caches small constants, so identical zeros
     # would alias one buffer and `donate_argnames` would see the same
@@ -244,6 +251,7 @@ def _step_impl(
             level_inliers=jnp.full(
                 (config.pyramid_levels,), 10**6, jnp.int32
             ),
+            level_degen=jnp.ones((config.pyramid_levels,), jnp.float32),
         )
     else:
         model_pyr = icp.model_pyramid(
@@ -282,8 +290,22 @@ def _step_impl(
     pose = jax.tree_util.tree_map(
         lambda a, b: jnp.where(trusted, a, b), result.pose, state.pose
     )
-    fused_depth = jnp.where(trusted, depth, 0.0)
-    filtered = jnp.where(trusted, live_pyr[0].depth, 0.0)
+    # Degeneracy hold (SURVEY §4.2 gating; PERFORMANCE.md desk analysis):
+    # an unobservable pose direction (dominant parallel planes) lets the
+    # pose slide while error/inliers stay perfect.  The tracked pose is
+    # KEPT (its observable DoF beat holding), but the frame is NOT fused
+    # -- geometry observed under a slid pose would compound the drift
+    # into the map and poison re-localization.  Counted separately from
+    # track_failures: the track did not fail, the scene under-constrains
+    # it; the durable fix is photometric tracking (mode="combined").
+    degenerate = (
+        (~model_empty)
+        & trusted
+        & (jnp.min(result.level_degen) < config.degen_min_eig)
+    )
+    fuse_ok = trusted & ~degenerate
+    fused_depth = jnp.where(fuse_ok, depth, 0.0)
+    filtered = jnp.where(fuse_ok, live_pyr[0].depth, 0.0)
 
     # --- fuse + render with the tracked pose ----------------------------
     # Depth-only tracking never reads model color; skip its render cost.
@@ -303,6 +325,10 @@ def _step_impl(
         track_failures=state.track_failures + (1 - trusted.astype(jnp.int32)),
         track_level_error=result.level_error,
         track_level_inliers=result.level_inliers,
+        track_level_degen=result.level_degen,
+        track_degen_frames=(
+            state.track_degen_frames + degenerate.astype(jnp.int32)
+        ),
     )
 
 
