@@ -408,18 +408,29 @@ def main():
             )
             with open(paths[-1], "rb") as f:
                 xspace = xplane_pb2.XSpace.FromString(f.read())
-            busy_ms = 0.0
+            # Sum only the TOP-LEVEL jitted-module events: op-level lines
+            # nest inside them (while/fusion/copy children), so summing
+            # every event double-counts ~4x (measured 73 "ms/frame" vs
+            # the 19.8 ms jit_step events actually span).
+            per_line = {}
             for plane in xspace.planes:
                 if "TPU" not in plane.name:
                     continue
                 for line in plane.lines:
-                    if "XLA Ops" not in line.name:
-                        continue
-                    busy_ms += sum(
-                        ev.duration_ps / 1e9 for ev in line.events
+                    tot = sum(
+                        ev.duration_ps / 1e9
+                        for ev in line.events
+                        if plane.event_metadata[
+                            ev.metadata_id
+                        ].name.startswith("jit_step")
                     )
-            if busy_ms > 0:
-                dev_ms = busy_ms / (k_g * seq)
+                    if tot > 0:
+                        per_line[f"{plane.name}/{line.name}"] = tot
+            if per_line:
+                # The module event appears on multiple lines (XLA
+                # Modules + the op line it parents); max-of-lines counts
+                # it once.
+                dev_ms = max(per_line.values()) / (k_g * seq)
         except Exception as e:
             print(f"device trace skipped: {e}", file=sys.stderr)
 

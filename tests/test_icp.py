@@ -459,3 +459,42 @@ def test_degeneracy_rescued_by_photometric_term():
     res = _track_self(depth, color, pose, mode="combined")
     assert float(jnp.min(res.level_degen)) > 0.02
     assert float(jnp.min(res.level_degen)) > 2 * CFG.degen_min_eig
+
+
+def test_min_eig_estimator_matches_eigvalsh():
+    """The fixed-iteration inverse-power estimator inside
+    _min_eig_normalized must agree with a dense eigensolve across the
+    regimes the detector must separate: degenerate (planes), healthy,
+    and in-between.  Tolerance is loose in the healthy regime (the
+    estimator may err HIGH there -- see its docstring) but the
+    decision band around degen_min_eig must be exact."""
+    rng = np.random.default_rng(5)
+
+    def ref_min_eig(H):
+        d = np.sqrt(np.maximum(np.diagonal(H), 1e-20))
+        Hn = H / (d[:, None] * d[None, :])
+        return float(np.min(np.linalg.eigvalsh(Hn)))
+
+    def make_spd(eigs):
+        q, _ = np.linalg.qr(rng.normal(size=(6, 6)))
+        return (q * eigs) @ q.T
+
+    for eigs in (
+        [1e-7, 0.5, 0.8, 1.0, 1.2, 1.5],     # hard degenerate
+        [1e-4, 1e-4, 1e-3, 0.9, 1.0, 1.1],   # 3-DoF null space
+        [5e-3, 0.4, 0.6, 0.9, 1.0, 1.2],     # just below threshold
+        [0.05, 0.3, 0.6, 0.9, 1.0, 1.2],     # healthy
+        [0.9, 0.95, 1.0, 1.0, 1.05, 1.1],    # perfectly conditioned
+    ):
+        H = make_spd(np.asarray(eigs)) * rng.uniform(1e2, 1e6)
+        got = float(icp._min_eig_normalized(jnp.asarray(H, jnp.float32)))
+        want = ref_min_eig(H)
+        if want < 0.02:
+            assert abs(got - want) < 0.3 * max(want, 1e-6) + 2e-4, (
+                eigs, got, want
+            )
+        else:
+            # Healthy regime: never reads degenerate.
+            assert got > 0.02, (eigs, got, want)
+    # Zero system reports 0 (maximally degenerate).
+    assert float(icp._min_eig_normalized(jnp.zeros((6, 6)))) == 0.0

@@ -916,10 +916,34 @@ def _min_eig_normalized(H: jax.Array) -> jax.Array:
     the reductions that built H.
 
     H == 0 (no inliers) returns 0 -- maximally degenerate, which the
-    inlier floors catch separately."""
+    inlier floors catch separately.
+
+    Implementation: INVERSE POWER ITERATION with a small ridge, not
+    ``eigvalsh`` -- XLA's TPU eigh (QDWH) emits a long serialized stream
+    of tiny ops whose fixed per-op cost at 3 calls/frame regressed the
+    whole 640x480 step from ~26 to ~73 ms device time (round-4 bench).
+    Eight fixed iterations of Cholesky triangular solves cost the same
+    op shapes as one extra GN solve.  The Rayleigh quotient of
+    (Hn + dI)^-1 UNDERestimates its top eigenvalue until converged, so
+    the returned min-eig only ever errs HIGH -- but the convergence
+    ratio is (l2+d)/(lmin+d), which is ~1e4 for any actually degenerate
+    system (lmin ~1e-5 vs healthy ~0.1): degeneracy is detected in one
+    iteration, only the don't-care zone near the threshold is fuzzy.
+    Validated against eigvalsh on the calibration scenes
+    (tests/test_icp.py::test_min_eig_estimator_matches_eigvalsh)."""
     d = jnp.sqrt(jnp.maximum(jnp.diagonal(H), 1e-20))
     Hn = H / (d[:, None] * d[None, :])
-    return jnp.min(jnp.linalg.eigvalsh(Hn))
+    ridge = 1e-6
+    L = jnp.linalg.cholesky(Hn + ridge * jnp.eye(6))
+    x = jnp.full((6,), 6.0**-0.5)
+    for _ in range(8):
+        y = jax.scipy.linalg.cho_solve((L, True), x)
+        x = y * jax.lax.rsqrt(jnp.maximum(jnp.dot(y, y), 1e-38))
+    # Rayleigh quotient of the inverse at the converged direction.
+    inv_lam = jnp.dot(x, jax.scipy.linalg.cho_solve((L, True), x))
+    lam = 1.0 / jnp.maximum(inv_lam, 1e-30) - ridge
+    # A zero/indefinite H (no inliers) NaNs the Cholesky: report 0.
+    return jnp.where(jnp.isfinite(lam), jnp.maximum(lam, 0.0), 0.0)
 
 
 def solve_gn(H, b, damping):
@@ -1094,7 +1118,10 @@ def track(
         # photometric rows are included when present, since they are
         # exactly what rescues a plane-degenerate view (and their absence
         # must make the score drop).  One extra fused reduction per level
-        # per frame -- not per GN iteration.
+        # per frame -- not per GN iteration.  degen_min_eig == 0 compiles
+        # the detector out (level_degen stays 1.0).
+        if config.degen_min_eig <= 0.0:
+            continue
         if geometric:
             H_det, _, _, _ = _pp_normal_eqs(
                 live, v_m, n_m, ok, pose, config, live_normals=True
