@@ -516,21 +516,33 @@ class _PatchAssoc:
         rids = jnp.stack(
             [rid + k * off for k in range(M)], axis=0
         ).reshape(-1)                               # M maps x T*96 rows
-        rows = self.tiles[rids].reshape(M, T, _AP_ROWS, _AP_TILES, 32)
-        patch = rows.transpose(1, 2, 3, 4, 0).reshape(T, _AP_P, M)
-        # Twelve 8-BIT value columns (4 bytes per map): byte-sliced
-        # payloads are exact on the single-pass bf16 MXU path, unlike
-        # 16-bit halves which need Precision.HIGHEST (6x the passes) to
-        # survive operand truncation -- see _patch_gather_depth_color.
-        self.rhs = jnp.concatenate(
+        rows = self.tiles[rids].reshape(M, T, _AP_P)
+        # 8-BIT value planes (4 bytes per map): byte-sliced payloads are
+        # exact on the single-pass bf16 MXU path, unlike 16-bit halves
+        # which need Precision.HIGHEST (6x the passes) to survive
+        # operand truncation -- see _patch_gather_depth_color.
+        # Kept P-MINOR (T, 4*M, P): the old path transposed to a
+        # map-minor (T, P, M) layout just so the dot could contract the
+        # rhs's middle dim, and both the 5-D transpose and the byte ops
+        # on that exotic layout showed up in the combined-mode source
+        # trace (~3.5 ms/frame at icp.py rhs lines).  The NT-form dot in
+        # ``gather`` contracts the rhs's minor dim directly, so the only
+        # relayout left is a cheap major-order copy.  Column order
+        # (byte-major: c = b*M + m) is unchanged.
+        planes = jnp.stack(
             [
-                (patch >> 24) & 0xFF,
-                (patch >> 16) & 0xFF,
-                (patch >> 8) & 0xFF,
-                patch & 0xFF,
+                (rows >> 24) & 0xFF,
+                (rows >> 16) & 0xFF,
+                (rows >> 8) & 0xFF,
+                rows & 0xFF,
             ],
-            axis=-1,
-        ).astype(jnp.bfloat16)                         # (T, P, 4*M)
+            axis=0,
+        )                                              # (4, M, T, P)
+        self.rhs = (
+            planes.transpose(2, 0, 1, 3)
+            .reshape(T, 4 * M, _AP_P)
+            .astype(jnp.bfloat16)
+        )                                              # (T, 4M, P)
         return self
 
     def gather(self, uv, ok, Ht, Wt_live, Hs, Ws):
@@ -562,7 +574,7 @@ class _PatchAssoc:
         # remove the need for the 6x-cost Precision.HIGHEST fix.
         vals = jax.lax.dot_general(
             onehot, self.rhs,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).astype(jnp.int32)                         # (T, 256, 4*M)
         M = self.n_maps

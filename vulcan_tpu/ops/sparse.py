@@ -191,6 +191,9 @@ def _patch_gather_depth_color(uv, z_cam, mip_tiles, mip_meta, config):
     # columns are exact in bf16 -- every product is 0/1 x (<= 255) and
     # each (block, voxel) row hits exactly one patch index -- so the
     # single-pass bf16 MXU path gives the same bits ~6x faster.
+    # P-minor rhs + NT-form dot (contract the rhs's minor dim): avoids
+    # materializing a byte-minor (C, P, 4) layout -- see the same
+    # restructure in ops/icp.py _PatchAssoc.freeze_windows.
     rhs = jnp.stack(
         [
             (patch >> 24) & 0xFF,
@@ -198,13 +201,13 @@ def _patch_gather_depth_color(uv, z_cam, mip_tiles, mip_meta, config):
             (patch >> 8) & 0xFF,
             patch & 0xFF,
         ],
-        axis=-1,
-    ).astype(jnp.bfloat16)                                 # (C, P, 4)
+        axis=1,
+    ).astype(jnp.bfloat16)                                 # (C, 4, P)
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _PATCH_P), 2)
     onehot = (pidx[:, :, None] == iota).astype(jnp.bfloat16)
     vals = jax.lax.dot_general(
         onehot, rhs,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(jnp.int32)                                    # (C, 512, 4)
     d16 = ((vals[..., 0] << 8) | vals[..., 1]).astype(jnp.float32)
