@@ -452,13 +452,24 @@ def test_degeneracy_healthy_on_constrained_scene():
 def test_degeneracy_rescued_by_photometric_term():
     """Combined-mode tracking on the SAME degenerate floor view is
     observable again (the textured photometric rows constrain the
-    in-plane DoF) -- the score must say so, since mode="combined" is
-    the documented fix for the desk slide."""
+    in-plane DoF) -- the GATE score must say so, since mode="combined"
+    is the documented fix for the desk slide.  With the default
+    photo_levels=2 the finest level is geometric-only BY CONFIG: its
+    per-level score correctly reads ~0 on a plane, but it is excluded
+    from the gate (TrackResult.min_degen) because the coarse
+    photometric levels anchor the pose and damping keeps the finest
+    level off its null space."""
     pose = look_at((1.2, 0.2, 0.4), (0.0, 0.0, -0.6))
     depth, color = render_scene_depth(CAM, pose, H, W, (), FLOOR)
     res = _track_self(depth, color, pose, mode="combined")
-    assert float(jnp.min(res.level_degen)) > 0.02
-    assert float(jnp.min(res.level_degen)) > 2 * CFG.degen_min_eig
+    assert float(res.min_degen) > 0.02
+    assert float(res.min_degen) > 2 * CFG.degen_min_eig
+    # The photometric (gated) levels are all healthy...
+    for level in range(1, CFG.pyramid_levels):
+        assert float(res.level_degen[level]) > 0.02
+    # ...and the config-skipped finest level reports its honest
+    # geometric-only collapse in the diagnostics.
+    assert float(res.level_degen[0]) < 0.005
 
 
 def test_min_eig_estimator_matches_eigvalsh():

@@ -208,6 +208,27 @@ class Config:
                                        # 0 disables.
     rgb_weight: float = 0.1            # photometric term weight ("combined")
     rgb_huber_delta: float = 0.1       # Huber width for intensity residuals
+    photo_levels: int = 2              # combined/light: photometric rows on
+                                       # this many COARSEST pyramid levels
+                                       # (pyramid_levels = all).  Default 2
+                                       # = skip the finest level: measured
+                                       # on the 240-frame desk orbit this is
+                                       # BOTH faster (device 32.3 -> 31.7
+                                       # ms/frame) and more accurate (ATE
+                                       # 0.0244 -> 0.0216 -- the full-res
+                                       # splat color that feeds the finest
+                                       # photometric rows is the noisiest).
+                                       # The finest level's
+                                       # photometric machinery is the most
+                                       # expensive piece of combined mode
+                                       # (full-res model-side 3x3 intensity/
+                                       # gradient maps + 56 extra patch-dot
+                                       # byte columns) -- see ops/icp.py
+                                       # track() for the knob's mechanics
+                                       # and PERFORMANCE.md round 4 for the
+                                       # measured FPS/ATE trade.  Ignored
+                                       # by mode="color" (no geometric term
+                                       # to fall back on).
 
     # --- profiling ---
     ablate: str = ""                   # comma-separated stages to skip in

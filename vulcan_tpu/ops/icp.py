@@ -88,6 +88,17 @@ class TrackResult:
                               # _min_eig_normalized -- this is the detector
                               # for the dominant-plane slide that error/
                               # inlier health metrics cannot see.
+    min_degen: jax.Array      # () f32: the GATE score -- min level_degen
+                              # over the levels that carry every
+                              # CONFIGURED term.  With photo_levels <
+                              # pyramid_levels the finest level is
+                              # geometric-only BY CONFIG, and its score
+                              # on a plane scene reads ~0 even though the
+                              # coarse photometric levels anchor the pose
+                              # (Levenberg damping keeps the finer levels
+                              # from drifting along their null space) --
+                              # so config-skipped levels inform
+                              # diagnostics but do not gate.
 
 
 _VERTEX_SCALE = 65536.0  # 21-bit fixed-point steps/m: +-16 m at 15 um
@@ -1045,12 +1056,26 @@ def track(
             else (config.coarse_patch_after if patch_ok else rounds)
         )
         geometric = mode in ("depth", "combined", "light")
-        grads = intensity_grads(model.intensity) if mode != "depth" else None
+        # Photometric rows on the ``photo_levels`` COARSEST levels only
+        # (default: all).  The finest level's photometric machinery is
+        # the single most expensive piece of combined mode (the model-
+        # side 3x3 intensity/gradient map build runs at full 640x480,
+        # and the patch dot carries 56 extra byte columns there), while
+        # the pose arriving at the finest level is already photometric-
+        # corrected by the coarser levels.  Pure photometric tracking
+        # (mode="color") has no geometric term to fall back on, so it
+        # ignores the knob.
+        photo_here = mode == "color" or (
+            mode != "depth"
+            and (config.pyramid_levels - level) <= config.photo_levels
+        )
+        grads = intensity_grads(model.intensity) if photo_here else None
         assoc_state = (
             _PatchAssoc(
                 model,
                 photo=(
-                    mode in ("combined", "light")
+                    photo_here
+                    and mode in ("combined", "light")
                     and config.assoc_patch != "geom"
                 ),
             )
@@ -1062,6 +1087,17 @@ def track(
             samples = None
             if geometric:
                 if _round >= patch_from:
+                    if is_coarse and config.coarse_patch_after == 0 \
+                            and _round > 0:
+                        # coarse_patch_after=0: patch association from
+                        # round 0 with PER-ROUND window re-freezing --
+                        # the coarse level's global warp moves too much
+                        # for one frozen window, but re-freezing tracks
+                        # it (each round's window centers on the current
+                        # warp), and the coarse tile table is tiny (75
+                        # tiles at 640x480), so the rebuild costs far
+                        # less than the flat gathers it replaces.
+                        assoc_state.windows = None
                     got = associate_depth_patched(
                         live, model, pose, config, assoc_state
                     )
@@ -1073,9 +1109,9 @@ def track(
                     v_m, n_m, ok = associate_depth(live, model, pose, config)
             else:
                 v_m = n_m = ok = None
-            if mode != "depth" and samples is None:
+            if photo_here and samples is None:
                 samples = color_assoc(live, model, grads, pose, config)
-            if mode == "light":
+            if photo_here and mode == "light":
                 # Re-estimate the illumination gain at EVERY association
                 # round (pose frozen during the estimate): each refit sees
                 # a tighter warp, so residual misalignment stops leaking
@@ -1105,7 +1141,7 @@ def track(
                     H = jnp.zeros((6, 6))
                     b = jnp.zeros((6,))
                     e = c = jnp.zeros(())
-                if mode != "depth":
+                if photo_here:
                     jc, rc, wc = color_rows_fixed(
                         live, samples, model, pose, config
                     )
@@ -1140,12 +1176,24 @@ def track(
             )
         else:
             H_det = jnp.zeros((6, 6))
-        if mode != "depth":
+        if photo_here:
             jc, rc, wc = color_rows_fixed(live, samples, model, pose, config)
             H_det = H_det + _fused_normal_eqs(jc, rc, wc)[0]
         lvl_deg[level] = _min_eig_normalized(H_det)
 
     level_inliers = jnp.stack(lvl_inl).astype(jnp.int32)
+    # Gate score: min over levels carrying every configured term (all
+    # levels in depth/color mode; the photo_levels coarsest in
+    # combined/light -- see TrackResult.min_degen).
+    gate_scores = [
+        lvl_deg[level]
+        for level in range(config.pyramid_levels)
+        if mode in ("depth", "color")
+        or (config.pyramid_levels - level) <= config.photo_levels
+    ]
+    min_degen = jnp.min(jnp.stack(gate_scores)) if gate_scores else (
+        jnp.ones(())
+    )
     # Per-level inlier floors: a level operating on 4^level fewer pixels
     # (and the finest on stride^2 fewer) needs proportionally fewer
     # inliers -- but a STARVED or diverged coarse level (near-zero
@@ -1173,4 +1221,5 @@ def track(
         level_error=jnp.stack(lvl_err),
         level_inliers=level_inliers,
         level_degen=jnp.stack(lvl_deg),
+        min_degen=min_degen,
     )

@@ -112,9 +112,13 @@ def _build_mip_tiles(packed: jax.Array):
     h, w = packed.shape
     meta, total = _mip_meta(h, w)
     parts = []
+    m_prev = packed
     for level, (off, wt, hp, hl, wl) in enumerate(meta):
-        m = subsample_stride(packed, 1 << level)
-        m = jnp.pad(m, ((0, hp - hl), (0, wt * _TILE_W - wl)))
+        # Iterative halving: [::2] of level L-1 == [::2^L] of level 0
+        # exactly (nearest subsample composes), and the shrinking
+        # inputs cost ~1.33x one full-size pass instead of L of them.
+        m_prev = subsample_stride(m_prev, 2 if level else 1)
+        m = jnp.pad(m_prev, ((0, hp - hl), (0, wt * _TILE_W - wl)))
         parts.append(m.reshape(hp * wt, _TILE_W))
     return jnp.concatenate(parts, axis=0), meta
 

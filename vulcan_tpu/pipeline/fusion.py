@@ -252,6 +252,7 @@ def _step_impl(
                 (config.pyramid_levels,), 10**6, jnp.int32
             ),
             level_degen=jnp.ones((config.pyramid_levels,), jnp.float32),
+            min_degen=jnp.ones(()),
         )
     else:
         model_pyr = icp.model_pyramid(
@@ -301,7 +302,7 @@ def _step_impl(
     degenerate = (
         (~model_empty)
         & trusted
-        & (jnp.min(result.level_degen) < config.degen_min_eig)
+        & (result.min_degen < config.degen_min_eig)
     )
     fuse_ok = trusted & ~degenerate
     fused_depth = jnp.where(fuse_ok, depth, 0.0)
