@@ -121,7 +121,7 @@ def extract_mesh(volume: B.VolumeState, config: Config) -> Mesh:
     colors0 = jnp.zeros((cap, 3, 3), jnp.float32)
 
     def chunk_body(carry):
-        i, total, positions, colors = carry
+        i, total, dropped, positions, colors = carry
         start = i * CB
         ext_tsdf, ext_weight, ext_color, coords, row_valid = _chunk_halos(
             volume, start, CB, config
@@ -146,49 +146,89 @@ def extract_mesh(volume: B.VolumeState, config: Config) -> Mesh:
         active = observed & row_valid[:, None, None, None]
         counts = jnp.where(active, num_tris[cfg_bits], 0)   # (CB,8,8,8)
 
+        # --- compact ACTIVE cubes before the emit phase ---------------
+        # Only a few percent of cubes carry triangles, but the original
+        # emit interpolated edge vertices for EVERY cube: ~120 dense
+        # select/blend passes over (CB,8,8,8,3) minor-dim-3 tensors,
+        # measured ~3.5-4.5 s for a full production extraction.  One
+        # cumsum compaction shrinks every emit tensor by >= 4x (ACT =
+        # 1/4 of the chunk covers a two-layer axis-aligned plane through
+        # every block -- the densest realistic surface); actives beyond
+        # the capacity have their triangles COUNTED into ``dropped``
+        # (never silently lost) and excluded from the offsets so the
+        # output buffer stays dense.
+        N = CB * bs ** 3
+        ACT = max(4096, N // 4)
         flat_counts = counts.reshape(-1)
-        offsets = total + jnp.cumsum(flat_counts) - flat_counts  # exclusive
-        chunk_total = jnp.sum(flat_counts)
-        offsets = offsets.reshape(counts.shape)
+        keep = flat_counts > 0
+        order = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        kept = keep & (order < ACT)
+        elig = jnp.where(kept, flat_counts, 0)
+        dropped_tris = jnp.sum(flat_counts) - jnp.sum(elig)
+        offsets = total + jnp.cumsum(elig) - elig            # exclusive
+        chunk_total = jnp.sum(elig)
 
-        # World position of each cube's base corner.
-        local = jnp.stack(
-            jnp.meshgrid(
-                jnp.arange(bs), jnp.arange(bs), jnp.arange(bs), indexing="ij"
-            ),
-            axis=-1,
-        )                                                   # (8,8,8,3)
-        base_voxel = (
-            coords[:, None, None, None, :] * bs + local
-        ).astype(jnp.float32)                               # (CB,8,8,8,3)
+        cube_ids = jnp.full((ACT,), N, jnp.int32)
+        cube_ids = cube_ids.at[
+            jnp.where(kept, order, ACT)
+        ].set(jnp.arange(N, dtype=jnp.int32), mode="drop")
+        live = cube_ids < N
+        safe = jnp.minimum(cube_ids, N - 1)
 
-        col_slices = [
-            ext_color[:, ox : ox + bs, oy : oy + bs, oz : oz + bs]
-            for ox, oy, oz in (
-                (int(a), int(b), int(c)) for a, b, c in T.CORNER_OFFSETS
-            )
-        ]
+        def g(x):
+            """Dense (flattens to (N,)) -> compacted (ACT,)."""
+            return x.reshape(N)[safe]
+
+        cfg_c = g(cfg_bits)
+        counts_c = jnp.where(live, g(counts), 0)
+        off_c = g(offsets)
+        vals_c = [g(v) for v in corner_vals]                 # 8 x (ACT,)
+        # Colors gather PACKED (one lane per corner) and unpack at ACT
+        # size; ext_color is already unpacked f32 (CB,9,9,9,3) from
+        # _chunk_halos, so slice the corner windows and gather per
+        # channel -- still (ACT,) gathers, 3 per corner.
+        cols_c = []
+        for ox, oy, oz in (
+            (int(a), int(b), int(c)) for a, b, c in T.CORNER_OFFSETS
+        ):
+            win = ext_color[:, ox : ox + bs, oy : oy + bs, oz : oz + bs]
+            cols_c.append(
+                jnp.stack(
+                    [g(win[..., ch]) for ch in range(3)], axis=-1
+                )
+            )                                                # (ACT, 3)
+
+        # World position of each compacted cube's base corner.
+        block_of = safe // (bs ** 3)
+        lflat = safe % (bs ** 3)
+        lx = lflat // (bs * bs)
+        ly = (lflat // bs) % bs
+        lz = lflat % bs
+        base_c = (
+            coords[block_of] * bs
+            + jnp.stack([lx, ly, lz], axis=-1)
+        ).astype(jnp.float32)                                # (ACT, 3)
 
         def edge_vertex(edge_ids):
-            """Interpolate vertex pos+color on edges (CB,8,8,8) -> (...,3)."""
+            """Interpolate vertex pos+color on edges, (ACT,) -> (ACT,3)."""
             a = edge_ends[edge_ids][..., 0]
             b = edge_ends[edge_ids][..., 1]
-            va = jnp.zeros_like(corner_vals[0])
-            vb = jnp.zeros_like(corner_vals[0])
-            ca = jnp.zeros(corner_vals[0].shape + (3,), jnp.float32)
+            va = jnp.zeros_like(vals_c[0])
+            vb = jnp.zeros_like(vals_c[0])
+            ca = jnp.zeros((ACT, 3), jnp.float32)
             cb = jnp.zeros_like(ca)
             pa = jnp.zeros_like(ca)
             pb = jnp.zeros_like(ca)
             for ci in range(8):
                 sel_a = (a == ci)[..., None]
                 sel_b = (b == ci)[..., None]
-                va = jnp.where(sel_a[..., 0], corner_vals[ci], va)
-                vb = jnp.where(sel_b[..., 0], corner_vals[ci], vb)
-                ca = jnp.where(sel_a, col_slices[ci], ca)
-                cb = jnp.where(sel_b, col_slices[ci], cb)
+                va = jnp.where(sel_a[..., 0], vals_c[ci], va)
+                vb = jnp.where(sel_b[..., 0], vals_c[ci], vb)
+                ca = jnp.where(sel_a, cols_c[ci], ca)
+                cb = jnp.where(sel_b, cols_c[ci], cb)
                 off = corner_off[ci].astype(jnp.float32)
-                pa = jnp.where(sel_a, base_voxel + off, pa)
-                pb = jnp.where(sel_b, base_voxel + off, pb)
+                pa = jnp.where(sel_a, base_c + off, pa)
+                pb = jnp.where(sel_b, base_c + off, pb)
             t = va / jnp.where(jnp.abs(va - vb) > 1e-12, va - vb, 1.0)
             t = jnp.clip(t, 0.0, 1.0)[..., None]
             pos = (pa + t * (pb - pa)) * vs
@@ -196,37 +236,43 @@ def extract_mesh(volume: B.VolumeState, config: Config) -> Mesh:
             return pos, col
 
         for slot in range(T.MAX_TRIS):
-            tri_edges = tri_table[cfg_bits, 3 * slot : 3 * slot + 3]
-            has_tri = active & (slot < counts)
-            out_idx = offsets + slot
+            tri_edges = tri_table[cfg_c, 3 * slot : 3 * slot + 3]
+            has_tri = live & (slot < counts_c)
+            out_idx = off_c + slot
             ok = has_tri & (out_idx < cap)
-            tgt = jnp.where(ok, out_idx, cap).reshape(-1)
+            tgt = jnp.where(ok, out_idx, cap)
             pos_tri = []
             col_tri = []
             for k in range(3):
                 p, c = edge_vertex(tri_edges[..., k])
                 pos_tri.append(p)
                 col_tri.append(c)
-            pos_tri = jnp.stack(pos_tri, axis=-2).reshape(-1, 3, 3)
-            col_tri = jnp.stack(col_tri, axis=-2).reshape(-1, 3, 3)
+            pos_tri = jnp.stack(pos_tri, axis=-2)            # (ACT,3,3)
+            col_tri = jnp.stack(col_tri, axis=-2)
             positions = positions.at[tgt].set(pos_tri, mode="drop")
             colors = colors.at[tgt].set(col_tri, mode="drop")
 
-        return i + 1, total + chunk_total, positions, colors
+        return i + 1, total + chunk_total, dropped + dropped_tris, \
+            positions, colors
 
     def cond(carry):
         return carry[0] < n_chunks
 
-    _, total, positions, colors = jax.lax.while_loop(
+    _, total, dropped, positions, colors = jax.lax.while_loop(
         cond,
         chunk_body,
         (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-         positions0, colors0),
+         jnp.asarray(0, jnp.int32), positions0, colors0),
     )
 
     return Mesh(
         positions=positions,
         colors=jnp.clip(colors, 0.0, 1.0),
         count=jnp.minimum(total, cap).astype(jnp.int32),
-        overflow=jnp.maximum(total - cap, 0).astype(jnp.int32),
+        # Dropped work is never silent: triangle-capacity overflow plus
+        # triangles of active cubes beyond the per-chunk compaction
+        # capacity (ACT; cannot trigger below ~25% surface density).
+        overflow=(
+            jnp.maximum(total - cap, 0) + dropped
+        ).astype(jnp.int32),
     )
