@@ -46,3 +46,35 @@ def _clear_jax_caches_between_modules():
     import jax
 
     jax.clear_caches()
+
+
+# --- quick suite -----------------------------------------------------------
+# ``pytest -m quick`` runs one representative test per subsystem (~3 min on
+# this 1-core box) so iteration does not pay the ~29-min full-suite tax
+# (round-4 VERDICT weak 5).  Selected centrally here instead of scattering
+# decorators: the list IS the definition of "one per subsystem".
+_QUICK = {
+    "test_se3.py::test_se3_exp_log_roundtrip",
+    "test_camera.py::test_project_unproject_roundtrip",
+    "test_hashing.py::test_insert_then_lookup",
+    "test_preprocess.py::test_bilateral_matches_cpu_reference",
+    "test_dense.py::test_single_frame_integration_matches_analytic_sdf",
+    "test_sparse.py::test_sparse_matches_analytic_sdf",
+    "test_sparse.py::test_onehot_patch_gather_matches_flat_exactly",
+    "test_icp.py::test_icp_recovers_small_perturbation",
+    "test_mcubes.py::test_sphere_mesh_geometry_and_color",
+    "test_pipeline.py::test_step_seq_matches_step",
+    "test_light.py::test_sh_estimation_recovers_coeffs",
+    "test_parallel.py::test_dryrun_multichip_2",
+    "test_cli.py::test_cli_requires_a_source",
+    "test_stress.py::test_alloc_batch_overflow_counted",
+    "test_utils.py::test_horn_align_recovers_rigid_transform",
+    "test_native.py::test_native_ply_roundtrip",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        rel = "::".join(item.nodeid.split("/")[-1].split("::")[:2])
+        if rel.split("[")[0] in _QUICK:
+            item.add_marker(pytest.mark.quick)
