@@ -250,3 +250,88 @@ def test_mesh_capacity_16384_blocks():
     err = np.abs(np.linalg.norm(verts, axis=-1) - r)
     assert np.median(err) < 0.5 * cfg.voxel_size
     assert err.max() < 2.0 * cfg.voxel_size
+
+
+def _assert_mesh_equal(inc, full, vs):
+    """Incremental (quantized t16/rgb888 cache) vs direct extraction:
+    identical triangle set/order; positions within quantization."""
+    n = int(full.count)
+    assert int(inc.count) == n
+    assert n > 100
+    assert int(inc.overflow) == int(full.overflow) == 0
+    pi = np.asarray(inc.positions[:n])
+    pf = np.asarray(full.positions[:n])
+    assert np.allclose(pi, pf, atol=2e-4), np.abs(pi - pf).max()
+    ci = np.asarray(inc.colors[:n])
+    cf = np.asarray(full.colors[:n])
+    assert np.allclose(ci, cf, atol=1 / 128), np.abs(ci - cf).max()
+
+
+def test_incremental_matches_full_extraction():
+    """Per-block triangle caches updated only for (re-)integrated blocks
+    must reproduce a full re-extraction exactly -- mid-sequence, after
+    further mutation, and after a no-op update (BASELINE config 5;
+    VERDICT round-4 item 3)."""
+    vol = blocks.create_volume(CFG)
+    cache = mcubes.create_mesh_cache(CFG)
+    update = jax.jit(mcubes.update_mesh_cache, static_argnums=2)
+    decode = jax.jit(mcubes.cache_to_mesh, static_argnums=2)
+    full = jax.jit(mcubes.extract_mesh, static_argnums=1)
+
+    poses = full_coverage_poses(8)
+    for k, pose in enumerate(poses):
+        depth, color = render_sphere_depth(CAM, pose, H, W, CENTER, RADIUS)
+        frame = make_frame(depth, color, CAM, pose)
+        vol, _, _ = allocate.allocate_for_frame(
+            vol, frame.depth, CAM, pose, CFG
+        )
+        vol = allocate.update_visibility(vol, CAM, pose, H, W, CFG)
+        vol = sparse.integrate_sparse(vol, frame, CFG)
+        if k == 3:
+            # Mid-sequence: cache covers the partial reconstruction.
+            vol, cache = update(vol, cache, CFG)
+            assert not bool(jnp.any(vol.mesh_dirty))
+            _assert_mesh_equal(
+                decode(vol, cache, CFG), full(vol, CFG), CFG.voxel_size
+            )
+
+    # After mutation by further fusion: only re-integrated blocks (and
+    # their halo dependents) are re-meshed, yet the result matches a
+    # full re-extraction of the mutated volume.
+    vol, cache = update(vol, cache, CFG)
+    _assert_mesh_equal(
+        decode(vol, cache, CFG), full(vol, CFG), CFG.voxel_size
+    )
+
+    # No-op update: nothing dirty, cache unchanged.
+    vol2, cache2 = update(vol, cache, CFG)
+    assert int(jnp.sum(cache2.counts)) == int(jnp.sum(cache.counts))
+    assert bool(jnp.all(cache2.va == cache.va))
+
+
+def test_incremental_clears_vanished_surface():
+    """A block whose surface disappears (e.g. carved free) re-meshes to
+    zero triangles instead of retaining stale cache entries."""
+    vol = fused_sphere_volume(6)
+    cache = mcubes.create_mesh_cache(CFG)
+    vol, cache = mcubes.update_mesh_cache(vol, cache, CFG)
+    n0 = int(mcubes.cache_to_mesh(vol, cache, CFG).count)
+    assert n0 > 100
+
+    # Carve: blank one block that currently carries triangles, flag it.
+    bid = int(jnp.argmax(cache.counts))
+    assert int(cache.counts[bid]) > 0
+    vol = dataclasses.replace(
+        vol,
+        tsdf=vol.tsdf.at[bid].set(1.0),
+        mesh_dirty=vol.mesh_dirty.at[bid].set(True),
+    )
+    before = int(cache.counts[bid])
+    vol, cache = mcubes.update_mesh_cache(vol, cache, CFG)
+    # Interior triangles are gone; boundary cubes whose other corners
+    # read still-negative NEIGHBOR voxels legitimately keep a surface,
+    # so the exact invariant is agreement with a full re-extraction.
+    assert int(cache.counts[bid]) < before
+    mesh = mcubes.cache_to_mesh(vol, cache, CFG)
+    full = mcubes.extract_mesh(vol, CFG)
+    assert int(mesh.count) == int(full.count) < n0

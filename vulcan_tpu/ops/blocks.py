@@ -74,6 +74,13 @@ class VolumeState:
     # diagnostics (never silently dropped work -- SURVEY.md §6)
     alloc_overflow: jax.Array    # () int32 candidates dropped by capacity
     visible_overflow: jax.Array  # () int32 visible blocks beyond capacity
+    # incremental-mesh dirty flags: block b is flagged when ITS voxel data
+    # changed (integrate_sparse scatters its work list here; ~free).  The
+    # mesh of b depends on b plus its 7 +direction halo neighbors, so the
+    # mesh updater expands flags by the 7 MINUS-neighbor lookups at
+    # extraction time (once per mesh cadence) rather than per frame
+    # (ops/mcubes.update_mesh_cache), then clears them.
+    mesh_dirty: jax.Array        # (num_blocks,) bool
 
 
 EMPTY_SURFEL = jnp.int32(0x7FFFFFFF)
@@ -108,6 +115,7 @@ def create_volume(config: Config, dtype=jnp.float32) -> VolumeState:
         surf_overflow=jnp.asarray(0, jnp.int32),
         alloc_overflow=jnp.asarray(0, jnp.int32),
         visible_overflow=jnp.asarray(0, jnp.int32),
+        mesh_dirty=jnp.zeros((nb,), bool),
     )
 
 

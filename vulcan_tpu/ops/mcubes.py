@@ -10,20 +10,41 @@ emit kernels [B]).  TPU-first structure:
      then a static slice -- no gathers in the inner loop, missing neighbors
      read the null block (weight 0) so boundary cubes mask out cleanly.
      Blocks are processed ``mesh_chunk`` at a time in a while_loop whose
-     trip count follows the ALLOCATED count (allocated slots are the
-     contiguous rows [1, free_count) of the free-list prefix), so halo
-     temporaries stay ~15 MB regardless of capacity -- full-capacity halos
-     at num_blocks=65536 would be multiple GB (round-1 VERDICT item 5).
+     trip count follows the actual work-list length, so halo temporaries
+     stay ~15 MB regardless of capacity (round-1 VERDICT item 5).
   2. **Classify**: per-cube config bits + triangle counts from the lookup
      table (tables derived + validated in tools/gen_mc_tables.py).
   3. **Compact**: exclusive cumsum of counts + a running total carried
      across chunks -> global output offsets (replaces the CUDA prefix-scan
      + atomic emit).
-  4. **Emit**: for each triangle slot (static MAX_TRIS loop), interpolate
-     edge vertices + colors and scatter into a fixed-capacity triangle
-     buffer; overflow is counted, never silent.
+  4. **Edge-major emit** (round 5): each active cube interpolates its 12
+     edges ONCE with STATIC corner indexing (edge endpoints are
+     compile-time constants), then every triangle-vertex slot selects
+     across the 12 precomputed edges -- ~2x fewer elementwise passes than
+     the round-4 per-vertex 8-corner select loops, and the whole chunk
+     lands in ONE scatter instead of five.
+
+**Incremental extraction** (round 5, BASELINE config 5): a persistent
+per-block triangle cache (``MeshCache``) maintained like the persistent
+surfel lists.  Integration flags changed blocks in ``volume.mesh_dirty``
+(one scatter per frame); ``update_mesh_cache`` expands the flags by the 7
+minus-neighbor lookups (a block's mesh halo reads its +direction
+neighbors, so a changed block re-meshes up to 8 dependents), re-meshes
+ONLY those blocks into quantized per-block triangle slots, and clears the
+flags; ``cache_to_mesh`` decodes the whole cache into a triangle soup in
+a few fixed passes.  A full-session online mesh then costs
+O(changed blocks) per cadence instead of O(allocated blocks).
+
+Triangle cache encoding (per vertex, 29 bits): ``lidx<<20 | edge<<16 |
+t16`` -- the cube's flat index in its block (9b), the crossed edge (4b)
+and the interpolation parameter quantized to 16 bits (~0.1 um at 8 mm
+voxels); vertex colors are rgb888.  Quantization error is far below
+voxel noise; ``test_incremental_matches_full_extraction`` pins the
+cache path to the direct extractor.
 """
 from __future__ import annotations
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +54,13 @@ from ..utils.pytree import pytree_dataclass
 from . import blocks as B
 from . import mc_tables as T
 
+# The 7 +direction halo neighbors of a block (and, negated, the blocks
+# whose halos read a given block).
+_HALO_OFFSETS = (
+    (1, 0, 0), (0, 1, 0), (0, 0, 1),
+    (1, 1, 0), (1, 0, 1), (0, 1, 1), (1, 1, 1),
+)
+
 
 @pytree_dataclass
 class Mesh:
@@ -41,21 +69,56 @@ class Mesh:
     positions: jax.Array   # (capacity, 3, 3) world-space triangle vertices
     colors: jax.Array      # (capacity, 3, 3) rgb in [0,1]
     count: jax.Array       # () int32 valid triangles
-    overflow: jax.Array    # () int32 triangles dropped by capacity
+    overflow: jax.Array    # () int32 triangles dropped for ANY reason
+                           # (buffer capacity + active-cube compaction +
+                           # per-block cache slots) -- never silent
+    compact_dropped: jax.Array  # () int32 the subset of ``overflow`` lost
+                                # to active-cube compaction / per-block
+                                # slot capacity (vs. the output buffer cap)
 
 
-def _chunk_halos(volume: B.VolumeState, start, CB: int, config: Config):
-    """Build (CB, 9, 9, 9[,3]) halo arrays for one chunk of block rows.
+@pytree_dataclass
+class MeshCache:
+    """Persistent per-block triangle cache (incremental extraction).
 
-    Own-block data comes from contiguous row slices; the 7 face/edge/corner
-    neighbors resolve through the hash once per block.  Unallocated rows
-    carry weight 0 everywhere (row 0 is the null sentinel, rows beyond
-    free_count were never integrated), so no explicit row masking is needed
-    in the voxel data -- the observed mask covers it.
+    Triangle k of block b lives in slot ``(b, k)``; slots are filled
+    contiguously in cube order, so ``counts[b]`` delimits the live
+    prefix.  ``dropped[b]`` counts that block's triangles lost to the
+    per-block slot capacity or active-cube compaction at its last
+    re-mesh (replaced, not accumulated, on the next re-mesh).
     """
-    ids = start + jnp.arange(CB, dtype=jnp.int32)
-    row_valid = (ids >= 1) & (ids < volume.free_count)
-    coords = jax.lax.dynamic_slice_in_dim(volume.block_coords, start, CB)
+
+    va: jax.Array       # (num_blocks, mesh_slots) int32 vertex word A
+    vb: jax.Array       # (num_blocks, mesh_slots) int32 vertex word B
+    vc: jax.Array       # (num_blocks, mesh_slots) int32 vertex word C
+    ca: jax.Array       # (num_blocks, mesh_slots) int32 rgb888 color A
+    cb: jax.Array       # (num_blocks, mesh_slots) int32 rgb888 color B
+    cc: jax.Array       # (num_blocks, mesh_slots) int32 rgb888 color C
+    counts: jax.Array   # (num_blocks,) int32 live triangles per block
+    dropped: jax.Array  # (num_blocks,) int32 triangles lost per block
+
+
+def create_mesh_cache(config: Config) -> MeshCache:
+    nb, ts = config.num_blocks, config.mesh_slots
+    z = jnp.zeros((nb, ts), jnp.int32)
+    return MeshCache(
+        va=z, vb=z + 0, vc=z + 0, ca=z + 0, cb=z + 0, cc=z + 0,
+        counts=jnp.zeros((nb,), jnp.int32),
+        dropped=jnp.zeros((nb,), jnp.int32),
+    )
+
+
+def _halos_for_ids(volume: B.VolumeState, ids, row_valid, config: Config):
+    """Build (CB, 9, 9, 9[,3]) halo arrays for the given block rows.
+
+    Own-block data comes from row gathers (invalid rows read the null
+    block 0); the 7 face/edge/corner neighbors resolve through the hash
+    once per block.  Unallocated rows carry weight 0 everywhere, so no
+    explicit row masking is needed in the voxel data -- the observed
+    mask covers it.
+    """
+    safe_ids = jnp.where(row_valid, ids, 0)
+    coords = volume.block_coords[safe_ids]
 
     def neighbor_idx(offset):
         idx = B.lookup_blocks(
@@ -63,18 +126,13 @@ def _chunk_halos(volume: B.VolumeState, start, CB: int, config: Config):
         )
         return jnp.where(row_valid, idx, 0)
 
-    neighbors = {
-        off: neighbor_idx(off)
-        for off in (
-            (1, 0, 0), (0, 1, 0), (0, 0, 1),
-            (1, 1, 0), (1, 0, 1), (0, 1, 1), (1, 1, 1),
-        )
-    }
+    neighbors = {off: neighbor_idx(off) for off in _HALO_OFFSETS}
+    CB = ids.shape[0]
 
     def extend(flat_arr):
         """(NB,512[,C]) -> (CB,9,9,9[,C]) using neighbor faces."""
         tail = flat_arr.shape[2:]
-        own = jax.lax.dynamic_slice_in_dim(flat_arr, start, CB)
+        own = flat_arr[safe_ids]
         arr = own.reshape((CB, 8, 8, 8) + tail)
         ext = jnp.zeros((CB, 9, 9, 9) + tail, arr.dtype)
         ext = ext.at[:, :8, :8, :8].set(arr)
@@ -98,161 +156,188 @@ def _chunk_halos(volume: B.VolumeState, start, CB: int, config: Config):
         extend(volume.weight),
         B.unpack_voxel_color(extend(volume.colorpack))[0],
         coords,
-        row_valid,
     )
+
+
+def _chunk_surface(volume, ids, row_valid, config: Config, act_frac: float):
+    """Halo + classify + active-cube compaction + per-edge interpolation
+    for one chunk of block rows.
+
+    Only a few percent of cubes carry triangles, but a dense emit would
+    interpolate edges for EVERY cube; active cubes are compacted to
+    ``ACT = act_frac * CB * 512`` lanes first (cumsum + gather).  Actives
+    beyond the capacity have their triangles COUNTED (never silently
+    lost) and excluded so downstream output stays dense.
+
+    Returns a dict of compacted arrays (see keys below); ``t12``/``c12``
+    hold every cube's 12 edge interpolation parameters and colors,
+    computed once with STATIC corner indexing.
+    """
+    bs = config.block_size
+    CB = ids.shape[0]
+    ext_tsdf, ext_weight, ext_color, coords = _halos_for_ids(
+        volume, ids, row_valid, config
+    )
+
+    # --- classify: per-cube config over (CB, 8, 8, 8) cubes ---
+    num_tris = jnp.asarray(T.NUM_TRIS)
+    corner_vals = []
+    corner_obs = []
+    for ci in range(8):
+        ox, oy, oz = (int(v) for v in T.CORNER_OFFSETS[ci])
+        v = ext_tsdf[:, ox : ox + bs, oy : oy + bs, oz : oz + bs]
+        w = ext_weight[:, ox : ox + bs, oy : oy + bs, oz : oz + bs]
+        corner_vals.append(v)
+        corner_obs.append(w > 0.0)
+    observed = corner_obs[0]
+    cfg_bits = jnp.zeros_like(corner_vals[0], dtype=jnp.int32)
+    for ci in range(8):
+        observed = observed & corner_obs[ci]
+        cfg_bits = cfg_bits | ((corner_vals[ci] < 0.0).astype(jnp.int32) << ci)
+    active = observed & row_valid[:, None, None, None]
+    counts = jnp.where(active, num_tris[cfg_bits], 0)       # (CB,8,8,8)
+
+    # --- compact ACTIVE cubes ---
+    N = CB * bs ** 3
+    ACT = max(4096, min(N, int(N * act_frac)))
+    flat_counts = counts.reshape(-1)
+    keep = flat_counts > 0
+    order = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    kept = keep & (order < ACT)
+    elig = jnp.where(kept, flat_counts, 0)
+    dropped = jnp.sum(flat_counts) - jnp.sum(elig)
+
+    cube_ids = jnp.full((ACT,), N, jnp.int32)
+    cube_ids = cube_ids.at[jnp.where(kept, order, ACT)].set(
+        jnp.arange(N, dtype=jnp.int32), mode="drop"
+    )
+    live = cube_ids < N
+    safe = jnp.minimum(cube_ids, N - 1)
+
+    def g(x):
+        """Dense (flattens to (N,)) -> compacted (ACT,)."""
+        return x.reshape((N,) + x.shape[4:])[safe]
+
+    cfg_c = g(cfg_bits)
+    counts_c = jnp.where(live, g(counts), 0)
+    vals_c = [g(v) for v in corner_vals]                    # 8 x (ACT,)
+    cols_c = []
+    for ox, oy, oz in (
+        (int(a), int(b), int(c)) for a, b, c in T.CORNER_OFFSETS
+    ):
+        win = ext_color[:, ox : ox + bs, oy : oy + bs, oz : oz + bs]
+        cols_c.append(
+            jnp.stack([g(win[..., ch]) for ch in range(3)], axis=-1)
+        )                                                   # (ACT, 3)
+
+    # --- per-edge interpolation, static corner indexing ---
+    t12 = []
+    c12 = []
+    for e in range(12):
+        a, b = (int(v) for v in T.EDGE_ENDPOINTS[e])
+        va, vb = vals_c[a], vals_c[b]
+        t = va / jnp.where(jnp.abs(va - vb) > 1e-12, va - vb, 1.0)
+        t = jnp.clip(t, 0.0, 1.0)
+        t12.append(t)
+        c12.append(cols_c[a] + t[..., None] * (cols_c[b] - cols_c[a]))
+    t12 = jnp.stack(t12, axis=-1)                           # (ACT, 12)
+    c12 = jnp.stack(c12, axis=1)                            # (ACT, 12, 3)
+
+    block_of = safe // (bs ** 3)
+    lidx_c = safe % (bs ** 3)
+    return dict(
+        flat_counts=flat_counts, elig=elig, dropped=dropped,
+        live=live, cfg_c=cfg_c, counts_c=counts_c, safe=safe, g=g,
+        t12=t12, c12=c12, block_of=block_of, lidx_c=lidx_c,
+        coords=coords,
+    )
+
+
+def _edge_positions(s, config: Config):
+    """(ACT, 12, 3) world-lattice edge-vertex positions (voxel units)."""
+    bs = config.block_size
+    lx = s["lidx_c"] // (bs * bs)
+    ly = (s["lidx_c"] // bs) % bs
+    lz = s["lidx_c"] % bs
+    base = (
+        s["coords"][s["block_of"]] * bs + jnp.stack([lx, ly, lz], axis=-1)
+    ).astype(jnp.float32)                                   # (ACT, 3)
+    offs = jnp.asarray(T.CORNER_OFFSETS, jnp.float32)       # (8, 3)
+    off_a = offs[jnp.asarray(T.EDGE_ENDPOINTS)[:, 0]]       # (12, 3)
+    off_b = offs[jnp.asarray(T.EDGE_ENDPOINTS)[:, 1]]
+    return (
+        base[:, None, :]
+        + off_a[None]
+        + s["t12"][..., None] * (off_b - off_a)[None]
+    )                                                       # (ACT, 12, 3)
+
+
+def _select_edges(tri_all, per_edge):
+    """Select per-vertex values across the 12 precomputed edges.
+
+    ``tri_all`` (ACT, 15) holds edge ids (-1 pads); ``per_edge``
+    (ACT, 12[, C]) the edge-major values.  12 where-passes over the full
+    (ACT, 15[, C]) tensor -- fewer, larger ops than per-slot loops.
+    """
+    tail = per_edge.shape[2:]
+    out = jnp.zeros(tri_all.shape + tail, per_edge.dtype)
+    for e in range(12):
+        sel = tri_all == e
+        val = per_edge[:, None, e]
+        if tail:
+            sel = sel[..., None]
+        out = jnp.where(sel, val, out)
+    return out                                              # (ACT, 15[, C])
 
 
 def extract_mesh(volume: B.VolumeState, config: Config) -> Mesh:
     """Extract the zero isosurface of every allocated block."""
     nb = volume.tsdf.shape[0]
-    bs = config.block_size
     vs = config.voxel_size
     cap = config.max_mesh_triangles
     CB = min(config.mesh_chunk, nb)
     # Rows [0, free_count) cover the null sentinel + every allocated block.
     n_chunks = (volume.free_count + CB - 1) // CB
+    tri_table = jnp.asarray(T.TRI_TABLE)
 
-    corner_off = jnp.asarray(T.CORNER_OFFSETS)          # (8, 3)
-    tri_table = jnp.asarray(T.TRI_TABLE)                # (256, 15)
-    num_tris = jnp.asarray(T.NUM_TRIS)                  # (256,)
-    edge_ends = jnp.asarray(T.EDGE_ENDPOINTS)           # (12, 2)
-
-    positions0 = jnp.zeros((cap, 3, 3), jnp.float32)
-    colors0 = jnp.zeros((cap, 3, 3), jnp.float32)
+    positions0 = jnp.zeros((cap * 3, 3), jnp.float32)
+    colors0 = jnp.zeros((cap * 3, 3), jnp.float32)
 
     def chunk_body(carry):
         i, total, dropped, positions, colors = carry
         start = i * CB
-        ext_tsdf, ext_weight, ext_color, coords, row_valid = _chunk_halos(
-            volume, start, CB, config
+        ids = start + jnp.arange(CB, dtype=jnp.int32)
+        row_valid = (ids >= 1) & (ids < volume.free_count)
+        s = _chunk_surface(volume, ids, row_valid, config,
+                           config.mesh_active_frac)
+
+        offsets = total + jnp.cumsum(s["elig"]) - s["elig"]  # excl, (N,)
+        chunk_total = jnp.sum(s["elig"])
+        off_c = s["g"](offsets)                              # (ACT,)
+
+        pos12 = _edge_positions(s, config) * vs              # (ACT,12,3)
+        tri_all = tri_table[s["cfg_c"]]                      # (ACT, 15)
+        pos_sel = _select_edges(tri_all, pos12)              # (ACT,15,3)
+        col_sel = _select_edges(tri_all, s["c12"])
+
+        # One scatter for all 5 triangle slots x 3 vertices: vertex slot
+        # v of cube -> flat vertex (off + v//3)*3 + v%3; out-of-bounds
+        # (masked or beyond cap) indices drop.
+        v = jnp.arange(15, dtype=jnp.int32)
+        tri_idx = off_c[:, None] + v[None] // 3              # (ACT, 15)
+        ok = (
+            s["live"][:, None]
+            & ((v[None] // 3) < s["counts_c"][:, None])
+            & (tri_idx < cap)
         )
-
-        # --- classify: per-cube config over (CB, 8, 8, 8) cubes ---
-        corner_vals = []
-        corner_obs = []
-        for ci in range(8):
-            ox, oy, oz = (int(v) for v in T.CORNER_OFFSETS[ci])
-            v = ext_tsdf[:, ox : ox + bs, oy : oy + bs, oz : oz + bs]
-            w = ext_weight[:, ox : ox + bs, oy : oy + bs, oz : oz + bs]
-            corner_vals.append(v)
-            corner_obs.append(w > 0.0)
-        observed = corner_obs[0]
-        cfg_bits = jnp.zeros_like(corner_vals[0], dtype=jnp.int32)
-        for ci in range(8):
-            observed = observed & corner_obs[ci]
-            cfg_bits = cfg_bits | (
-                (corner_vals[ci] < 0.0).astype(jnp.int32) << ci
-            )
-        active = observed & row_valid[:, None, None, None]
-        counts = jnp.where(active, num_tris[cfg_bits], 0)   # (CB,8,8,8)
-
-        # --- compact ACTIVE cubes before the emit phase ---------------
-        # Only a few percent of cubes carry triangles, but the original
-        # emit interpolated edge vertices for EVERY cube: ~120 dense
-        # select/blend passes over (CB,8,8,8,3) minor-dim-3 tensors,
-        # measured ~3.5-4.5 s for a full production extraction.  One
-        # cumsum compaction shrinks every emit tensor by >= 4x (ACT =
-        # 1/4 of the chunk covers a two-layer axis-aligned plane through
-        # every block -- the densest realistic surface); actives beyond
-        # the capacity have their triangles COUNTED into ``dropped``
-        # (never silently lost) and excluded from the offsets so the
-        # output buffer stays dense.
-        N = CB * bs ** 3
-        ACT = max(4096, N // 4)
-        flat_counts = counts.reshape(-1)
-        keep = flat_counts > 0
-        order = jnp.cumsum(keep.astype(jnp.int32)) - 1
-        kept = keep & (order < ACT)
-        elig = jnp.where(kept, flat_counts, 0)
-        dropped_tris = jnp.sum(flat_counts) - jnp.sum(elig)
-        offsets = total + jnp.cumsum(elig) - elig            # exclusive
-        chunk_total = jnp.sum(elig)
-
-        cube_ids = jnp.full((ACT,), N, jnp.int32)
-        cube_ids = cube_ids.at[
-            jnp.where(kept, order, ACT)
-        ].set(jnp.arange(N, dtype=jnp.int32), mode="drop")
-        live = cube_ids < N
-        safe = jnp.minimum(cube_ids, N - 1)
-
-        def g(x):
-            """Dense (flattens to (N,)) -> compacted (ACT,)."""
-            return x.reshape(N)[safe]
-
-        cfg_c = g(cfg_bits)
-        counts_c = jnp.where(live, g(counts), 0)
-        off_c = g(offsets)
-        vals_c = [g(v) for v in corner_vals]                 # 8 x (ACT,)
-        # Colors gather PACKED (one lane per corner) and unpack at ACT
-        # size; ext_color is already unpacked f32 (CB,9,9,9,3) from
-        # _chunk_halos, so slice the corner windows and gather per
-        # channel -- still (ACT,) gathers, 3 per corner.
-        cols_c = []
-        for ox, oy, oz in (
-            (int(a), int(b), int(c)) for a, b, c in T.CORNER_OFFSETS
-        ):
-            win = ext_color[:, ox : ox + bs, oy : oy + bs, oz : oz + bs]
-            cols_c.append(
-                jnp.stack(
-                    [g(win[..., ch]) for ch in range(3)], axis=-1
-                )
-            )                                                # (ACT, 3)
-
-        # World position of each compacted cube's base corner.
-        block_of = safe // (bs ** 3)
-        lflat = safe % (bs ** 3)
-        lx = lflat // (bs * bs)
-        ly = (lflat // bs) % bs
-        lz = lflat % bs
-        base_c = (
-            coords[block_of] * bs
-            + jnp.stack([lx, ly, lz], axis=-1)
-        ).astype(jnp.float32)                                # (ACT, 3)
-
-        def edge_vertex(edge_ids):
-            """Interpolate vertex pos+color on edges, (ACT,) -> (ACT,3)."""
-            a = edge_ends[edge_ids][..., 0]
-            b = edge_ends[edge_ids][..., 1]
-            va = jnp.zeros_like(vals_c[0])
-            vb = jnp.zeros_like(vals_c[0])
-            ca = jnp.zeros((ACT, 3), jnp.float32)
-            cb = jnp.zeros_like(ca)
-            pa = jnp.zeros_like(ca)
-            pb = jnp.zeros_like(ca)
-            for ci in range(8):
-                sel_a = (a == ci)[..., None]
-                sel_b = (b == ci)[..., None]
-                va = jnp.where(sel_a[..., 0], vals_c[ci], va)
-                vb = jnp.where(sel_b[..., 0], vals_c[ci], vb)
-                ca = jnp.where(sel_a, cols_c[ci], ca)
-                cb = jnp.where(sel_b, cols_c[ci], cb)
-                off = corner_off[ci].astype(jnp.float32)
-                pa = jnp.where(sel_a, base_c + off, pa)
-                pb = jnp.where(sel_b, base_c + off, pb)
-            t = va / jnp.where(jnp.abs(va - vb) > 1e-12, va - vb, 1.0)
-            t = jnp.clip(t, 0.0, 1.0)[..., None]
-            pos = (pa + t * (pb - pa)) * vs
-            col = ca + t * (cb - ca)
-            return pos, col
-
-        for slot in range(T.MAX_TRIS):
-            tri_edges = tri_table[cfg_c, 3 * slot : 3 * slot + 3]
-            has_tri = live & (slot < counts_c)
-            out_idx = off_c + slot
-            ok = has_tri & (out_idx < cap)
-            tgt = jnp.where(ok, out_idx, cap)
-            pos_tri = []
-            col_tri = []
-            for k in range(3):
-                p, c = edge_vertex(tri_edges[..., k])
-                pos_tri.append(p)
-                col_tri.append(c)
-            pos_tri = jnp.stack(pos_tri, axis=-2)            # (ACT,3,3)
-            col_tri = jnp.stack(col_tri, axis=-2)
-            positions = positions.at[tgt].set(pos_tri, mode="drop")
-            colors = colors.at[tgt].set(col_tri, mode="drop")
-
-        return i + 1, total + chunk_total, dropped + dropped_tris, \
+        tgt = jnp.where(ok, tri_idx * 3 + v[None] % 3, cap * 3)
+        positions = positions.at[tgt.reshape(-1)].set(
+            pos_sel.reshape(-1, 3), mode="drop"
+        )
+        colors = colors.at[tgt.reshape(-1)].set(
+            col_sel.reshape(-1, 3), mode="drop"
+        )
+        return i + 1, total + chunk_total, dropped + s["dropped"], \
             positions, colors
 
     def cond(carry):
@@ -266,13 +351,227 @@ def extract_mesh(volume: B.VolumeState, config: Config) -> Mesh:
     )
 
     return Mesh(
-        positions=positions,
-        colors=jnp.clip(colors, 0.0, 1.0),
+        positions=positions.reshape(cap, 3, 3),
+        colors=jnp.clip(colors.reshape(cap, 3, 3), 0.0, 1.0),
         count=jnp.minimum(total, cap).astype(jnp.int32),
-        # Dropped work is never silent: triangle-capacity overflow plus
-        # triangles of active cubes beyond the per-chunk compaction
-        # capacity (ACT; cannot trigger below ~25% surface density).
-        overflow=(
-            jnp.maximum(total - cap, 0) + dropped
-        ).astype(jnp.int32),
+        overflow=(jnp.maximum(total - cap, 0) + dropped).astype(jnp.int32),
+        compact_dropped=dropped.astype(jnp.int32),
+    )
+
+
+def _compact_flags(flags):
+    """(NB,) bool -> ((NB,) int32 padded index list, () int32 count)."""
+    nb = flags.shape[0]
+    order = jnp.cumsum(flags.astype(jnp.int32)) - 1
+    lst = jnp.zeros((nb,), jnp.int32)
+    lst = lst.at[jnp.where(flags, order, nb)].set(
+        jnp.arange(nb, dtype=jnp.int32), mode="drop"
+    )
+    return lst, jnp.sum(flags.astype(jnp.int32))
+
+
+def update_mesh_cache(
+    volume: B.VolumeState, cache: MeshCache, config: Config
+):
+    """Re-mesh every block whose triangles may have changed; clear flags.
+
+    The dirty set is ``volume.mesh_dirty`` (blocks whose voxel data
+    changed, flagged by integration) expanded by the 7 minus-neighbor
+    lookups: block b's mesh halo reads b's +direction neighbors, so a
+    change to t re-meshes {t - off}.  The expansion runs once per mesh
+    cadence (not per frame) over the compacted flag list; both loops'
+    trip counts follow the actual dirty count.  Returns
+    ``(volume, cache)`` with flags cleared -- the WHOLE expanded set is
+    processed, so clearing every flag is exact, and a block whose
+    surface vanished rewrites to count 0.
+    """
+    nb = volume.tsdf.shape[0]
+    bs = config.block_size
+    ts = config.mesh_slots
+    tri_table = jnp.asarray(T.TRI_TABLE)
+
+    # --- expand dirty flags by minus-neighbors -------------------------
+    flag_list, n_flagged = _compact_flags(volume.mesh_dirty)
+    CE = min(4096, nb)
+    n_ech = (n_flagged + CE - 1) // CE
+
+    def expand_body(carry):
+        i, exp = carry
+        ids = jax.lax.dynamic_slice_in_dim(flag_list, i * CE, CE)
+        valid = (i * CE + jnp.arange(CE, dtype=jnp.int32)) < n_flagged
+        coords = volume.block_coords[jnp.where(valid, ids, 0)]
+        for off in _HALO_OFFSETS:
+            t = B.lookup_blocks(
+                volume, coords - jnp.asarray(off, jnp.int32), config
+            )
+            exp = exp.at[jnp.where(valid, t, 0)].set(True)
+        return i + 1, exp
+
+    _, expanded = jax.lax.while_loop(
+        lambda c: c[0] < n_ech,
+        expand_body,
+        (jnp.asarray(0, jnp.int32), volume.mesh_dirty),
+    )
+    expanded = expanded.at[0].set(False)
+
+    # --- re-mesh the expanded set --------------------------------------
+    work_list, n_work = _compact_flags(expanded)
+    CB = min(config.mesh_chunk, nb)
+    n_wch = (n_work + CB - 1) // CB
+
+    def work_body(carry):
+        i, va, vb, vc, ca, cb, cc, counts, dropped = carry
+        ids = jax.lax.dynamic_slice_in_dim(work_list, i * CB, CB)
+        row_valid = (
+            ((i * CB + jnp.arange(CB, dtype=jnp.int32)) < n_work)
+            & (ids >= 1) & (ids < volume.free_count)
+        )
+        s = _chunk_surface(volume, ids, row_valid, config,
+                           config.mesh_cache_active_frac)
+
+        elig2 = s["elig"].reshape(CB, bs ** 3)
+        cube_off = jnp.cumsum(elig2, axis=1) - elig2    # excl per block
+        placed = jnp.sum(elig2, axis=1)                 # (CB,)
+        full = jnp.sum(s["flat_counts"].reshape(CB, bs ** 3), axis=1)
+        kept = jnp.minimum(placed, ts)
+
+        # Quantize: t -> 16 bits, color -> rgb888.
+        t16 = jnp.clip(
+            jnp.round(s["t12"] * 65535.0), 0, 65535
+        ).astype(jnp.int32)                              # (ACT, 12)
+        c888 = (
+            (jnp.clip(jnp.round(s["c12"][..., 0] * 255.0), 0, 255)
+             .astype(jnp.int32) << 16)
+            | (jnp.clip(jnp.round(s["c12"][..., 1] * 255.0), 0, 255)
+               .astype(jnp.int32) << 8)
+            | jnp.clip(jnp.round(s["c12"][..., 2] * 255.0), 0, 255)
+            .astype(jnp.int32)
+        )                                                # (ACT, 12)
+
+        tri_all = tri_table[s["cfg_c"]]                  # (ACT, 15)
+        t_sel = _select_edges(tri_all, t16)              # (ACT, 15)
+        c_sel = _select_edges(tri_all, c888)
+        word = (
+            (s["lidx_c"][:, None] << 20)
+            | (jnp.maximum(tri_all, 0) << 16)
+            | t_sel
+        )                                                # (ACT, 15)
+
+        rows = jnp.where(
+            row_valid[s["block_of"]], ids[s["block_of"]], nb
+        )                                                # (ACT,)
+        off_c = s["g"](cube_off.reshape(-1))             # (ACT,)
+
+        def put(dst, src_col):
+            """Scatter one vertex column (ACT, 5) into (NB, ts) slots."""
+            k = jnp.arange(T.MAX_TRIS, dtype=jnp.int32)
+            slot = off_c[:, None] + k[None]              # (ACT, 5)
+            ok = (
+                s["live"][:, None]
+                & (k[None] < s["counts_c"][:, None])
+                & (slot < ts)
+            )
+            tgt = jnp.where(ok, rows[:, None] * ts + slot, nb * ts)
+            return dst.reshape(-1).at[tgt.reshape(-1)].set(
+                src_col.reshape(-1), mode="drop"
+            ).reshape(nb, ts)
+
+        va = put(va, word[:, 0::3])
+        vb = put(vb, word[:, 1::3])
+        vc = put(vc, word[:, 2::3])
+        ca = put(ca, c_sel[:, 0::3])
+        cb = put(cb, c_sel[:, 1::3])
+        cc = put(cc, c_sel[:, 2::3])
+        tgt_rows = jnp.where(row_valid, ids, nb)
+        counts = counts.at[tgt_rows].set(kept, mode="drop")
+        dropped = dropped.at[tgt_rows].set(full - kept, mode="drop")
+        return i + 1, va, vb, vc, ca, cb, cc, counts, dropped
+
+    carry = (
+        jnp.asarray(0, jnp.int32), cache.va, cache.vb, cache.vc,
+        cache.ca, cache.cb, cache.cc, cache.counts, cache.dropped,
+    )
+    _, va, vb, vc, ca, cb, cc, counts, dropped = jax.lax.while_loop(
+        lambda c: c[0] < n_wch, work_body, carry
+    )
+
+    volume = dataclasses.replace(
+        volume, mesh_dirty=jnp.zeros_like(volume.mesh_dirty)
+    )
+    cache = MeshCache(
+        va=va, vb=vb, vc=vc, ca=ca, cb=cb, cc=cc,
+        counts=counts, dropped=dropped,
+    )
+    return volume, cache
+
+
+def cache_to_mesh(
+    volume: B.VolumeState, cache: MeshCache, config: Config
+) -> Mesh:
+    """Decode the per-block triangle cache into a compact triangle soup.
+
+    Fixed passes over the (num_blocks * mesh_slots) slot grid: build the
+    compaction map (cumsum + scatter), gather the live slots, decode the
+    quantized vertices.  Output triangle order matches ``extract_mesh``
+    (ascending block row, cube order within the block).
+    """
+    nb, ts = cache.counts.shape[0], cache.va.shape[1]
+    bs = config.block_size
+    vs = config.voxel_size
+    cap = config.max_mesh_triangles
+
+    offsets = jnp.cumsum(cache.counts) - cache.counts       # (NB,) excl
+    total = jnp.sum(cache.counts)
+
+    slots = jnp.arange(nb * ts, dtype=jnp.int32)
+    r = slots // ts
+    sl = slots % ts
+    valid = sl < cache.counts[r]
+    dst = jnp.where(valid, offsets[r] + sl, cap)
+    gmap = jnp.zeros((cap,), jnp.int32).at[dst].set(slots, mode="drop")
+
+    lane = jnp.arange(cap, dtype=jnp.int32)
+    lane_ok = lane < jnp.minimum(total, cap)
+    rb = gmap // ts                                         # (cap,)
+    coords = volume.block_coords[rb]                        # (cap, 3)
+
+    offs = jnp.asarray(T.CORNER_OFFSETS, jnp.float32)
+    off_a = offs[jnp.asarray(T.EDGE_ENDPOINTS)[:, 0]]       # (12, 3)
+    off_b = offs[jnp.asarray(T.EDGE_ENDPOINTS)[:, 1]]
+
+    def decode(vword, cword):
+        lidx = (vword >> 20) & 0x1FF
+        edge = (vword >> 16) & 0xF
+        t = (vword & 0xFFFF).astype(jnp.float32) * (1.0 / 65535.0)
+        lx = lidx // (bs * bs)
+        ly = (lidx // bs) % bs
+        lz = lidx % bs
+        base = (
+            coords * bs + jnp.stack([lx, ly, lz], axis=-1)
+        ).astype(jnp.float32)
+        pos = (
+            base + off_a[edge] + t[:, None] * (off_b[edge] - off_a[edge])
+        ) * vs
+        col = jnp.stack(
+            [
+                ((cword >> 16) & 0xFF).astype(jnp.float32),
+                ((cword >> 8) & 0xFF).astype(jnp.float32),
+                (cword & 0xFF).astype(jnp.float32),
+            ],
+            axis=-1,
+        ) * (1.0 / 255.0)
+        m = lane_ok[:, None]
+        return jnp.where(m, pos, 0.0), jnp.where(m, col, 0.0)
+
+    pa, ka = decode(cache.va.reshape(-1)[gmap], cache.ca.reshape(-1)[gmap])
+    pb, kb = decode(cache.vb.reshape(-1)[gmap], cache.cb.reshape(-1)[gmap])
+    pc, kc = decode(cache.vc.reshape(-1)[gmap], cache.cc.reshape(-1)[gmap])
+
+    dropped = jnp.sum(cache.dropped)
+    return Mesh(
+        positions=jnp.stack([pa, pb, pc], axis=1),
+        colors=jnp.clip(jnp.stack([ka, kb, kc], axis=1), 0.0, 1.0),
+        count=jnp.minimum(total, cap).astype(jnp.int32),
+        overflow=(jnp.maximum(total - cap, 0) + dropped).astype(jnp.int32),
+        compact_dropped=dropped.astype(jnp.int32),
     )

@@ -346,4 +346,19 @@ def integrate_sparse(
     _, volume = jax.lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), volume)
     )
+    # Incremental-mesh dirty marks: one masked scatter of the work list
+    # (the only blocks whose voxel data can have changed this frame).
+    # Neighbor expansion -- a changed block also dirties the up-to-7
+    # blocks whose mesh halos read it -- costs 7 hash lookups per id and
+    # is deferred to mesh-update time (ops/mcubes.update_mesh_cache),
+    # keeping the per-frame tracking cost at ~one scatter.
+    mark = jnp.where(
+        (jnp.arange(V, dtype=jnp.int32) < work_count) & (work_ids > 0),
+        work_ids,
+        nb,
+    )
+    volume = dataclasses.replace(
+        volume,
+        mesh_dirty=volume.mesh_dirty.at[mark].set(True, mode="drop"),
+    )
     return volume

@@ -144,8 +144,9 @@ class Volume:
         return report
 
     # -- persistence (SURVEY.md §6 checkpoint/resume) --
-    _SNAPSHOT_VERSION = 3  # v2: named per-field keys (packed int32
-                           # color); v3: persistent surfel lists
+    _SNAPSHOT_VERSION = 4  # v2: named per-field keys (packed int32
+                           # color); v3: persistent surfel lists;
+                           # v4: incremental-mesh dirty flags
 
     def save(self, path: str) -> None:
         """Snapshot the full volume state to one .npz file.
@@ -379,6 +380,7 @@ class Pipeline:
                 round(float(x), 6) for x in s.track_level_degen
             ],
             "track_degen_frames": int(s.track_degen_frames),
+            "photo_armed_frames": int(s.photo_cnt),
             "allocated_blocks": int(s.volume.free_count) - 1,
             "visible_blocks": int(s.volume.num_visible),
             "alloc_overflow": int(s.volume.alloc_overflow),
