@@ -39,8 +39,17 @@ def build_parser():
                    help="tiny = small capacities for CPU smoke runs")
     r.add_argument("--voxel-size", type=float, default=None)
     r.add_argument("--trunc", type=float, default=None)
-    r.add_argument("--mode", default="depth",
-                   choices=["depth", "color", "combined", "light"])
+    r.add_argument("--mode", default="combined",
+                   choices=["depth", "color", "combined", "light"],
+                   help="tracking mode (default: combined -- geometric + "
+                        "photometric, the robust production choice: the "
+                        "round-5 replays measured depth-only ICP sliding "
+                        "into a wrong basin on the cluttered-desk scene at "
+                        "HEALTHY conditioning scores, a failure no online "
+                        "statistic flags, while combined mode holds 0.022 m "
+                        "ATE at >=30 FPS device-bound.  'depth' is the "
+                        "max-throughput option for well-conditioned "
+                        "geometry (52+ FPS at 640x480)")
     r.add_argument("--known-poses", action="store_true",
                    help="fusion-only with ground-truth poses")
     r.add_argument("--mesh-out", help="write final mesh PLY here")
@@ -49,7 +58,13 @@ def build_parser():
                         "online run (BASELINE.json config 5; the periodic "
                         "extraction cost is part of the reported FPS). "
                         "The latest mesh replaces the previous one; with "
-                        "--mesh-out the final mesh is written as usual.")
+                        "--mesh-out the final mesh is written as usual. "
+                        "Uses the INCREMENTAL per-block triangle cache "
+                        "(only re-integrated blocks re-mesh).")
+    r.add_argument("--mesh-full", action="store_true",
+                   help="with --mesh-every: re-extract the FULL volume "
+                        "each time instead of the incremental cache "
+                        "(slower; for comparison/verification)")
     r.add_argument("--snapshot-out", help="write volume .npz snapshot here")
     r.add_argument("--resume", help="resume from a volume snapshot")
     r.add_argument("--eval-ate", action="store_true",
@@ -185,9 +200,32 @@ def cmd_run(args):
 
         from .ops import mcubes as _mcubes
 
-        mesh_fn = _jax.jit(
-            _mcubes.extract_mesh, static_argnames=("config",)
-        )
+        if args.mesh_full:
+            _extract = _jax.jit(
+                _mcubes.extract_mesh, static_argnames=("config",)
+            )
+
+            def mesh_fn(state):
+                return state, _extract(state.volume, config)
+        else:
+            # Incremental: per-block triangle cache, re-meshing only the
+            # blocks integration dirtied since the last extraction.
+            # Donation matters: without it every update would copy the
+            # whole voxel volume just to clear the dirty flags.
+            _cache = _mcubes.create_mesh_cache(config)
+            _update = _jax.jit(
+                _mcubes.update_mesh_cache,
+                static_argnums=2, donate_argnums=(0, 1),
+            )
+            _decode = _jax.jit(
+                _mcubes.cache_to_mesh, static_argnums=2
+            )
+
+            def mesh_fn(state):
+                nonlocal _cache
+                vol, _cache = _update(state.volume, _cache, config)
+                state = dataclasses.replace(state, volume=vol)
+                return state, _decode(vol, _cache, config)
     from .utils.runtime import prefetch_to_device
 
     for i, (depth, color, gt_pose) in enumerate(
@@ -212,16 +250,15 @@ def cmd_run(args):
             jax.block_until_ready(jnp.sum(pipe.state.model.depth))
             if mesh_fn is not None:
                 # Compile the extraction before the timer starts.
-                jax.block_until_ready(
-                    mesh_fn(pipe.state.volume, config).count
-                )
+                pipe.state, warm_mesh = mesh_fn(pipe.state)
+                jax.block_until_ready(warm_mesh.count)
             t_loop = time.perf_counter()  # exclude compile from FPS
         n_done += 1
         if mesh_fn is not None and n_done % args.mesh_every == 0:
             # Dispatched before the next step (in-order device stream:
             # the extraction reads the volume before donation reuses it);
             # stays lazy -- no host sync in the loop.
-            last_mesh = mesh_fn(pipe.state.volume, config)
+            pipe.state, last_mesh = mesh_fn(pipe.state)
             n_meshed += 1
         if gt_pose is not None:
             est_traj.append(np.asarray(pipe.pose.translation))

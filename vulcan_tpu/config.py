@@ -208,6 +208,44 @@ class Config:
                                        # 0 disables.
     rgb_weight: float = 0.1            # photometric term weight ("combined")
     rgb_huber_delta: float = 0.1       # Huber width for intensity residuals
+    auto_photo: bool = True            # depth mode COLLAPSE RESCUE: when
+                                       # the geometric conditioning
+                                       # (TrackResult.geo_degen) falls into
+                                       # the rank-collapse band, arm
+                                       # photometric tracking for the next
+                                       # auto_photo_hold frames (lax.cond:
+                                       # the combined-mode machinery costs
+                                       # nothing while disarmed).  A
+                                       # collapsed view (bare floor/wall:
+                                       # geo ~1e-5..2e-3) arms next frame;
+                                       # if the scene has texture the
+                                       # photometric rows restore
+                                       # observability and fusion RESUMES
+                                       # instead of holding forever.
+                                       # NOT a weak-band detector: the
+                                       # round-5 640x480 replays measured
+                                       # the desk slide happening at
+                                       # HEALTHY scores 0.38-0.73 (the
+                                       # 0.1-0.2 readings appear only
+                                       # after the basin exit), and the
+                                       # orbit's floor-heavy views dip to
+                                       # 0.07-0.2 while tracking at 6 mm --
+                                       # no frame-local spectrum threshold
+                                       # separates them (PERFORMANCE.md
+                                       # round-5 timelines).  The desk-
+                                       # class fix is mode="combined", the
+                                       # CLI default.  Requires
+                                       # degen_min_eig > 0.  Only affects
+                                       # mode="depth".
+    auto_photo_enter: float = 0.02     # arm when geo_degen < this: 2x the
+                                       # hold threshold, 10x above any
+                                       # measured healthy-scene minimum
+                                       # (orbit 0.07), 10-100x below
+                                       # measured collapse (2e-3..1e-5)
+    auto_photo_hold: int = 60          # armed frames per weak reading
+                                       # (re-armed while weakness persists;
+                                       # the ~2 s tail covers the basin
+                                       # re-entry after the view recovers)
     photo_levels: int = 2              # combined/light: photometric rows on
                                        # this many COARSEST pyramid levels
                                        # (pyramid_levels = all).  Default 2
@@ -241,6 +279,25 @@ class Config:
     mesh_chunk: int = 1024             # blocks meshed per loop round (bounds
                                        # halo temporaries to ~15 MB; the loop
                                        # trip count follows free_count)
+    mesh_active_frac: float = 0.25     # active-cube compaction capacity as a
+                                       # fraction of the chunk's cubes (full
+                                       # extractor); 0.25 covers a two-layer
+                                       # axis-aligned plane through every
+                                       # block -- raise it for dense/noisy
+                                       # volumes (beyond-capacity actives are
+                                       # counted in Mesh.compact_dropped,
+                                       # never silently lost)
+    mesh_cache_active_frac: float = 0.5  # same, for incremental cache
+                                       # updates: dirty blocks are band
+                                       # blocks (surface-dense by
+                                       # construction), so the compaction
+                                       # budget doubles
+    mesh_slots: int = 256              # per-block triangle-cache slots
+                                       # (incremental extraction; a worst-
+                                       # case oblique plane cuts ~220
+                                       # triangles per block; overflow is
+                                       # counted per block in
+                                       # MeshCache.dropped)
 
     def __post_init__(self):
         assert self.block_size == 8, "voxel blocks are 8^3 (InfiniTAM layout)"

@@ -99,6 +99,17 @@ class TrackResult:
                               # from drifting along their null space) --
                               # so config-skipped levels inform
                               # diagnostics but do not gate.
+    geo_degen: jax.Array      # () f32: min over levels of the GEOMETRIC-
+                              # only observability score (photometric
+                              # rows excluded).  In depth mode equals
+                              # min_degen; in combined/light it measures
+                              # what the geometry ALONE constrains --
+                              # the signal the auto-photo escalation
+                              # (fusion.Config.auto_photo) de-escalates
+                              # on, since the with-photo score is rescued
+                              # by exactly the rows escalation added.
+                              # 1.0 when no geometric term (mode="color")
+                              # or the detector is compiled out.
 
 
 _VERTEX_SCALE = 65536.0  # 21-bit fixed-point steps/m: +-16 m at 15 um
@@ -1004,6 +1015,7 @@ def track(
     lvl_err = [jnp.zeros(())] * config.pyramid_levels
     lvl_inl = [jnp.zeros(())] * config.pyramid_levels
     lvl_deg = [jnp.ones(())] * config.pyramid_levels
+    lvl_deg_geo = [jnp.ones(())] * config.pyramid_levels
     for level in range(config.pyramid_levels - 1, -1, -1):
         live = live_pyramid[level]
         model = model_pyr[level]
@@ -1176,10 +1188,18 @@ def track(
             )
         else:
             H_det = jnp.zeros((6, 6))
+        if geometric and photo_here:
+            # Geometric-only score BEFORE the photometric rows rescue it
+            # (TrackResult.geo_degen: the auto-photo de-escalation
+            # signal).  One extra 6x6 inverse-power estimate per photo
+            # level per frame.
+            lvl_deg_geo[level] = _min_eig_normalized(H_det)
         if photo_here:
             jc, rc, wc = color_rows_fixed(live, samples, model, pose, config)
             H_det = H_det + _fused_normal_eqs(jc, rc, wc)[0]
         lvl_deg[level] = _min_eig_normalized(H_det)
+        if geometric and not photo_here:
+            lvl_deg_geo[level] = lvl_deg[level]
 
     level_inliers = jnp.stack(lvl_inl).astype(jnp.int32)
     # Gate score: min over levels carrying every configured term (all
@@ -1191,9 +1211,14 @@ def track(
         if mode in ("depth", "color")
         or (config.pyramid_levels - level) <= config.photo_levels
     ]
-    min_degen = jnp.min(jnp.stack(gate_scores)) if gate_scores else (
-        jnp.ones(())
-    )
+    if not gate_scores:
+        # combined/light with photo_levels=0 leaves no level carrying
+        # every configured term; falling back to the geometric-only
+        # scores keeps the degeneracy gate live in exactly the
+        # pure-geometric configuration most exposed to the plane-slide
+        # failure it was built for (round-4 advisor finding).
+        gate_scores = lvl_deg
+    min_degen = jnp.min(jnp.stack(gate_scores))
     # Per-level inlier floors: a level operating on 4^level fewer pixels
     # (and the finest on stride^2 fewer) needs proportionally fewer
     # inliers -- but a STARVED or diverged coarse level (near-zero
@@ -1222,4 +1247,5 @@ def track(
         level_inliers=level_inliers,
         level_degen=jnp.stack(lvl_deg),
         min_degen=min_degen,
+        geo_degen=jnp.min(jnp.stack(lvl_deg_geo)),
     )

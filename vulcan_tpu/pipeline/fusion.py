@@ -59,6 +59,12 @@ class PipelineState:
                                     # unobservable pose direction)
     track_degen_frames: jax.Array   # () int32, frames tracked under a
                                     # detected degeneracy (fusion held)
+    photo_cnt: jax.Array            # () int32 auto-photo escalation
+                                    # countdown: > 0 = photometric rows
+                                    # armed for this many more frames
+                                    # (Config.auto_photo; re-armed to
+                                    # auto_photo_hold while the geometric
+                                    # conditioning stays weak)
 
     @property
     def pose(self) -> SE3:
@@ -94,6 +100,7 @@ def init_state(
         track_level_inliers=jnp.zeros((config.pyramid_levels,), jnp.int32),
         track_level_degen=jnp.ones((config.pyramid_levels,), jnp.float32),
         track_degen_frames=jnp.asarray(0, jnp.int32),
+        photo_cnt=jnp.asarray(0, jnp.int32),
     )
     # Deep-copy every leaf: jax caches small constants, so identical zeros
     # would alias one buffer and `donate_argnames` would see the same
@@ -121,14 +128,27 @@ def _fuse_and_render(
             volume, frame, config, ids=band_ids, count=n_band
         )
     if "render" not in skip:
-        render = raycast.render(
-            volume, frame.camera, frame.pose, h, w, config,
-            with_color=with_color,
-            # The online pipeline's model render is consumed by the
-            # photometric tracker as INTENSITY only; the packed luma
-            # splat renders it in one scatter pass (ops/splat.py).
-            color_space=config.model_color,
-        )
+        def _render(wc: bool):
+            return raycast.render(
+                volume, frame.camera, frame.pose, h, w, config,
+                with_color=wc,
+                # The online pipeline's model render is consumed by the
+                # photometric tracker as INTENSITY only; the packed luma
+                # splat renders it in one scatter pass (ops/splat.py).
+                color_space=config.model_color,
+            )
+
+        if isinstance(with_color, bool):
+            render = _render(with_color)
+        else:
+            # Traced condition (auto-photo escalation): both renders
+            # return the identical Render pytree (color is a zeros plane
+            # when off), so lax.cond executes only the armed variant.
+            render = jax.lax.cond(
+                with_color,
+                lambda: _render(True),
+                lambda: _render(False),
+            )
     else:
         render = None
     return volume, render
@@ -238,7 +258,26 @@ def _step_impl(
     h, w = depth.shape
     camera = state.model.camera
     frame = Frame(depth, color, camera, state.pose)
-    live_pyr = build_pyramid(frame, config, with_intensity=(mode != "depth"))
+    # Auto-photo escalation (round-5, VERDICT item 4): in depth mode,
+    # when the GEOMETRIC conditioning sits in the measured weak band
+    # (desk slide: geo scores 0.1-0.2 compound the harsh orbit motion
+    # into wrong-basin convergence, ATE 0.995 m; photometric rows fix it
+    # at ~9 ms -- PERFORMANCE.md round-4 study), arm combined-mode
+    # tracking for the next auto_photo_hold frames.  Both track variants
+    # sit in a lax.cond, so a well-conditioned run (orbit) executes the
+    # pure-depth branch and pays nothing but the intensity pyramids.
+    # One-frame latency by design: arming at frame t renders the model
+    # WITH luma at t, so frame t+1 has both sides of the photometric
+    # term.
+    auto = (
+        mode == "depth"
+        and config.auto_photo
+        and config.degen_min_eig > 0.0
+        and "track" not in (config.ablate or "").split(",")
+    )
+    armed = state.photo_cnt > 0
+    with_int = (mode != "depth") or auto
+    live_pyr = build_pyramid(frame, config, with_intensity=with_int)
 
     # --- track against the previous model (no-op when model is empty) ---
     if "track" in (config.ablate or "").split(","):
@@ -253,19 +292,27 @@ def _step_impl(
             ),
             level_degen=jnp.ones((config.pyramid_levels,), jnp.float32),
             min_degen=jnp.ones(()),
+            geo_degen=jnp.ones(()),
         )
     else:
         model_pyr = icp.model_pyramid(
             state.model, config.pyramid_levels,
-            with_intensity=(mode != "depth"),
+            with_intensity=with_int,
             # Silhouette erosion threshold for the photometric mask,
             # scaled so coarse-voxel configs (whose surfaces carry
             # voxel-size depth quantization) do not erode everything.
             flat_thresh=max(0.05, 6.0 * config.voxel_size),
         )
-        result = icp.track(
-            live_pyr, model_pyr, predict_pose(state, config), config, mode
-        )
+        init_pose = predict_pose(state, config)
+        if auto:
+            result = jax.lax.cond(
+                armed,
+                lambda lp, mp, ip: icp.track(lp, mp, ip, config, "combined"),
+                lambda lp, mp, ip: icp.track(lp, mp, ip, config, "depth"),
+                live_pyr, model_pyr, init_pose,
+            )
+        else:
+            result = icp.track(live_pyr, model_pyr, init_pose, config, mode)
 
     # --- fusion gate (InfiniTAM-style tracking-quality gating) ----------
     # A diverged or starved track (occlusion, blur, all-invalid depth)
@@ -308,12 +355,25 @@ def _step_impl(
     fused_depth = jnp.where(fuse_ok, depth, 0.0)
     filtered = jnp.where(fuse_ok, live_pyr[0].depth, 0.0)
 
+    # --- auto-photo countdown (decided BEFORE this frame's render so the
+    # model luma is available the moment the next frame needs it) -------
+    if auto:
+        weak = (~model_empty) & (result.geo_degen < config.auto_photo_enter)
+        photo_cnt = jnp.where(
+            weak,
+            jnp.asarray(config.auto_photo_hold, jnp.int32),
+            jnp.maximum(state.photo_cnt - 1, 0),
+        )
+    else:
+        photo_cnt = state.photo_cnt
+
     # --- fuse + render with the tracked pose ----------------------------
     # Depth-only tracking never reads model color; skip its render cost.
+    # Under auto-photo the color render is a traced condition (armed).
     tracked = Frame(fused_depth, color, camera, pose)
     volume, render = _fuse_and_render(
         state.volume, tracked, filtered, config, h, w,
-        with_color=(mode != "depth"),
+        with_color=(photo_cnt > 0) if auto else (mode != "depth"),
     )
     return dataclasses.replace(
         state,
@@ -330,6 +390,7 @@ def _step_impl(
         track_degen_frames=(
             state.track_degen_frames + degenerate.astype(jnp.int32)
         ),
+        photo_cnt=photo_cnt,
     )
 
 
