@@ -188,10 +188,11 @@ def _barrier(state):
     jnp.sum(state.model.depth).block_until_ready()
 
 
-def _trace_device_ms(run, n_frames):
+def _trace_device_ms(run, n_frames, prefixes=("jit_step",)):
     """Device ms/frame from an xplane trace of ``run()`` (n_frames of
     pipeline work).  Sums only the TOP-LEVEL jitted-module events
-    (jit_step*): op-level lines nest inside them, so summing every event
+    (jit_step* by default; mesh rows add the extraction modules):
+    op-level lines nest inside them, so summing every event
     double-counts ~4x.  Returns None on any profiler/proto hiccup --
     best-effort, the field is just omitted from the artifact."""
     import glob
@@ -220,7 +221,7 @@ def _trace_device_ms(run, n_frames):
                 ev.duration_ps / 1e9
                 for ev in line.events
                 if plane.event_metadata[ev.metadata_id].name.startswith(
-                    "jit_step"
+                    prefixes
                 )
             )
             if tot > 0:
@@ -544,23 +545,47 @@ def streaming_measure(
             tr_state = fusion.init_state(
                 config, camera, h, w, init_pose=poses[0]
             )
+            mesh_fn_tr = mesh_make() if mesh_make is not None else None
             for d, c in prefetch_to_device(groups(frames[:nwg], ts)):
                 tr_state, _ = run_one(tr_state, d, c, ts)
+            if mesh_fn_tr is not None:
+                # Compile + warm the extraction outside the trace.
+                tr_state, m = mesh_fn_tr(tr_state)
+                jax.block_until_ready(m.count)
             _barrier(tr_state)
-            k_g = min(3, len(groups(frames[n_warm:n_warm + nbg], ts)))
+            all_groups = groups(frames[n_warm:n_warm + nbg], ts)
+            k_g = min(3, len(all_groups))
+            if mesh_fn_tr is not None:
+                # Cover at least one full mesh cadence so the amortized
+                # device time includes the extraction's true share.
+                k_g = min(len(all_groups), max(k_g, -(-mesh_every // ts)))
 
             def traced():
                 nonlocal tr_state
-                for d, c in prefetch_to_device(
-                    groups(frames[n_warm:n_warm + nbg], ts)[:k_g]
-                ):
+                m = None
+                done = meshed = 0
+                for d, c in prefetch_to_device(all_groups[:k_g]):
                     tr_state, _ = run_one(tr_state, d, c, ts)
+                    done += ts
+                    if mesh_fn_tr is not None and (
+                        done // mesh_every > meshed
+                    ):
+                        tr_state, m = mesh_fn_tr(tr_state)
+                        meshed += 1
                 _barrier(tr_state)
+                if m is not None:
+                    jax.block_until_ready(m.count)
 
             # Divisor = frames actually traced: k_g groups of the TRACED
             # depth ts (round-4 advisor: dividing by seqs[0] inflated
             # device_ms up to 15x when the winner was a deeper seq).
-            dev_ms = _trace_device_ms(traced, k_g * ts)
+            dev_ms = _trace_device_ms(
+                traced, k_g * ts,
+                prefixes=(
+                    "jit_step", "jit_update_mesh", "jit_cache_to",
+                    "jit_extract_mesh",
+                ),
+            )
             del tr_state
             if dev_ms is not None:
                 out["device_ms_per_frame"] = round(dev_ms, 2)
