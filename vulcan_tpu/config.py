@@ -292,6 +292,22 @@ class Config:
                                        # blocks (surface-dense by
                                        # construction), so the compaction
                                        # budget doubles
+    mesh_dirty_eps: float = 2e-3       # integration marks a block mesh-
+                                       # dirty only when its TSDF moved by
+                                       # more than this (tsdf units; moves
+                                       # an interpolated vertex < eps/2
+                                       # voxels, i.e. sub-quantization) or
+                                       # its stored rgb888 bytes changed.
+                                       # Cuts the per-cadence re-mesh set
+                                       # from the whole visible band to the
+                                       # truly-changed blocks.  Caveat: a
+                                       # pathological stream of sub-eps
+                                       # deltas could accumulate unmeshed
+                                       # drift up to ~eps per observation
+                                       # burst -- bounded far below voxel
+                                       # noise at the default.  0 restores
+                                       # blanket marking of every
+                                       # integrated block.
     mesh_slots: int = 256              # per-block triangle-cache slots
                                        # (incremental extraction; a worst-
                                        # case oblique plane cuts ~220

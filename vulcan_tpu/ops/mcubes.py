@@ -221,27 +221,32 @@ def _chunk_surface(volume, ids, row_valid, config: Config, act_frac: float):
     cfg_c = g(cfg_bits)
     counts_c = jnp.where(live, g(counts), 0)
     vals_c = [g(v) for v in corner_vals]                    # 8 x (ACT,)
+    # CHANNEL-PLANAR everywhere (3 x (ACT, ...) instead of (ACT, ..., 3)):
+    # minor-dim-3 f32 intermediates are laid out as T(8,128) tiles on
+    # this TPU, a 42x padding expansion that OOM'd the decode compile at
+    # production capacity -- the splat renderer's planar-channel lesson.
     cols_c = []
     for ox, oy, oz in (
         (int(a), int(b), int(c)) for a, b, c in T.CORNER_OFFSETS
     ):
         win = ext_color[:, ox : ox + bs, oy : oy + bs, oz : oz + bs]
-        cols_c.append(
-            jnp.stack([g(win[..., ch]) for ch in range(3)], axis=-1)
-        )                                                   # (ACT, 3)
+        cols_c.append([g(win[..., ch]) for ch in range(3)])  # 3 x (ACT,)
 
     # --- per-edge interpolation, static corner indexing ---
     t12 = []
-    c12 = []
+    c12 = [[], [], []]
     for e in range(12):
         a, b = (int(v) for v in T.EDGE_ENDPOINTS[e])
         va, vb = vals_c[a], vals_c[b]
         t = va / jnp.where(jnp.abs(va - vb) > 1e-12, va - vb, 1.0)
         t = jnp.clip(t, 0.0, 1.0)
         t12.append(t)
-        c12.append(cols_c[a] + t[..., None] * (cols_c[b] - cols_c[a]))
+        for ch in range(3):
+            c12[ch].append(
+                cols_c[a][ch] + t * (cols_c[b][ch] - cols_c[a][ch])
+            )
     t12 = jnp.stack(t12, axis=-1)                           # (ACT, 12)
-    c12 = jnp.stack(c12, axis=1)                            # (ACT, 12, 3)
+    c12 = [jnp.stack(c, axis=-1) for c in c12]              # 3 x (ACT,12)
 
     block_of = safe // (bs ** 3)
     lidx_c = safe % (bs ** 3)
@@ -254,40 +259,38 @@ def _chunk_surface(volume, ids, row_valid, config: Config, act_frac: float):
 
 
 def _edge_positions(s, config: Config):
-    """(ACT, 12, 3) world-lattice edge-vertex positions (voxel units)."""
+    """3 x (ACT, 12) world-lattice edge-vertex position components
+    (voxel units) -- channel-planar (see layout note above)."""
     bs = config.block_size
-    lx = s["lidx_c"] // (bs * bs)
-    ly = (s["lidx_c"] // bs) % bs
-    lz = s["lidx_c"] % bs
-    base = (
-        s["coords"][s["block_of"]] * bs + jnp.stack([lx, ly, lz], axis=-1)
-    ).astype(jnp.float32)                                   # (ACT, 3)
-    offs = jnp.asarray(T.CORNER_OFFSETS, jnp.float32)       # (8, 3)
-    off_a = offs[jnp.asarray(T.EDGE_ENDPOINTS)[:, 0]]       # (12, 3)
-    off_b = offs[jnp.asarray(T.EDGE_ENDPOINTS)[:, 1]]
-    return (
-        base[:, None, :]
-        + off_a[None]
-        + s["t12"][..., None] * (off_b - off_a)[None]
-    )                                                       # (ACT, 12, 3)
+    local = (
+        s["lidx_c"] // (bs * bs),
+        (s["lidx_c"] // bs) % bs,
+        s["lidx_c"] % bs,
+    )
+    ends = jnp.asarray(T.EDGE_ENDPOINTS)
+    out = []
+    for k in range(3):
+        offs_k = jnp.asarray(T.CORNER_OFFSETS[:, k], jnp.float32)
+        a = offs_k[ends[:, 0]]                              # (12,)
+        b = offs_k[ends[:, 1]]
+        base = (
+            s["coords"][s["block_of"], k] * bs + local[k]
+        ).astype(jnp.float32)                               # (ACT,)
+        out.append(base[:, None] + a[None] + s["t12"] * (b - a)[None])
+    return out                                              # 3 x (ACT,12)
 
 
 def _select_edges(tri_all, per_edge):
     """Select per-vertex values across the 12 precomputed edges.
 
     ``tri_all`` (ACT, 15) holds edge ids (-1 pads); ``per_edge``
-    (ACT, 12[, C]) the edge-major values.  12 where-passes over the full
-    (ACT, 15[, C]) tensor -- fewer, larger ops than per-slot loops.
+    (ACT, 12) the edge-major values.  12 where-passes over the full
+    (ACT, 15) tensor -- fewer, larger ops than per-slot loops.
     """
-    tail = per_edge.shape[2:]
-    out = jnp.zeros(tri_all.shape + tail, per_edge.dtype)
+    out = jnp.zeros(tri_all.shape, per_edge.dtype)
     for e in range(12):
-        sel = tri_all == e
-        val = per_edge[:, None, e]
-        if tail:
-            sel = sel[..., None]
-        out = jnp.where(sel, val, out)
-    return out                                              # (ACT, 15[, C])
+        out = jnp.where(tri_all == e, per_edge[:, None, e], out)
+    return out                                              # (ACT, 15)
 
 
 def extract_mesh(volume: B.VolumeState, config: Config) -> Mesh:
@@ -300,11 +303,13 @@ def extract_mesh(volume: B.VolumeState, config: Config) -> Mesh:
     n_chunks = (volume.free_count + CB - 1) // CB
     tri_table = jnp.asarray(T.TRI_TABLE)
 
-    positions0 = jnp.zeros((cap * 3, 3), jnp.float32)
-    colors0 = jnp.zeros((cap * 3, 3), jnp.float32)
+    # Output buffers are CHANNEL-PLANAR (cap*3,) during accumulation
+    # (see the layout note in _chunk_surface); one stack at the end
+    # produces the (cap, 3, 3) Mesh arrays.
+    zeros = jnp.zeros((cap * 3,), jnp.float32)
 
     def chunk_body(carry):
-        i, total, dropped, positions, colors = carry
+        i, total, dropped, px, py, pz, cr, cg, cb = carry
         start = i * CB
         ids = start + jnp.arange(CB, dtype=jnp.int32)
         row_valid = (ids >= 1) & (ids < volume.free_count)
@@ -315,14 +320,13 @@ def extract_mesh(volume: B.VolumeState, config: Config) -> Mesh:
         chunk_total = jnp.sum(s["elig"])
         off_c = s["g"](offsets)                              # (ACT,)
 
-        pos12 = _edge_positions(s, config) * vs              # (ACT,12,3)
+        pos12 = _edge_positions(s, config)                   # 3 x (ACT,12)
         tri_all = tri_table[s["cfg_c"]]                      # (ACT, 15)
-        pos_sel = _select_edges(tri_all, pos12)              # (ACT,15,3)
-        col_sel = _select_edges(tri_all, s["c12"])
 
-        # One scatter for all 5 triangle slots x 3 vertices: vertex slot
-        # v of cube -> flat vertex (off + v//3)*3 + v%3; out-of-bounds
-        # (masked or beyond cap) indices drop.
+        # One scatter per component for all 5 triangle slots x 3
+        # vertices: vertex slot v of cube -> flat vertex
+        # (off + v//3)*3 + v%3; out-of-bounds (masked or beyond cap)
+        # indices drop.
         v = jnp.arange(15, dtype=jnp.int32)
         tri_idx = off_c[:, None] + v[None] // 3              # (ACT, 15)
         ok = (
@@ -330,29 +334,38 @@ def extract_mesh(volume: B.VolumeState, config: Config) -> Mesh:
             & ((v[None] // 3) < s["counts_c"][:, None])
             & (tri_idx < cap)
         )
-        tgt = jnp.where(ok, tri_idx * 3 + v[None] % 3, cap * 3)
-        positions = positions.at[tgt.reshape(-1)].set(
-            pos_sel.reshape(-1, 3), mode="drop"
-        )
-        colors = colors.at[tgt.reshape(-1)].set(
-            col_sel.reshape(-1, 3), mode="drop"
-        )
-        return i + 1, total + chunk_total, dropped + s["dropped"], \
-            positions, colors
+        tgt = jnp.where(ok, tri_idx * 3 + v[None] % 3, cap * 3).reshape(-1)
+
+        def put(dst, per_edge):
+            sel = _select_edges(tri_all, per_edge)
+            return dst.at[tgt].set(sel.reshape(-1), mode="drop")
+
+        px = put(px, pos12[0] * vs)
+        py = put(py, pos12[1] * vs)
+        pz = put(pz, pos12[2] * vs)
+        cr = put(cr, s["c12"][0])
+        cg = put(cg, s["c12"][1])
+        cb = put(cb, s["c12"][2])
+        return (i + 1, total + chunk_total, dropped + s["dropped"],
+                px, py, pz, cr, cg, cb)
 
     def cond(carry):
         return carry[0] < n_chunks
 
-    _, total, dropped, positions, colors = jax.lax.while_loop(
+    _, total, dropped, px, py, pz, cr, cg, cb = jax.lax.while_loop(
         cond,
         chunk_body,
         (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-         jnp.asarray(0, jnp.int32), positions0, colors0),
+         jnp.asarray(0, jnp.int32),
+         zeros, zeros + 0, zeros + 0, zeros + 0, zeros + 0, zeros + 0),
     )
 
+    def pack(x, y, z):
+        return jnp.stack([x, y, z], axis=-1).reshape(cap, 3, 3)
+
     return Mesh(
-        positions=positions.reshape(cap, 3, 3),
-        colors=jnp.clip(colors.reshape(cap, 3, 3), 0.0, 1.0),
+        positions=pack(px, py, pz),
+        colors=jnp.clip(pack(cr, cg, cb), 0.0, 1.0),
         count=jnp.minimum(total, cap).astype(jnp.int32),
         overflow=(jnp.maximum(total - cap, 0) + dropped).astype(jnp.int32),
         compact_dropped=dropped.astype(jnp.int32),
@@ -440,11 +453,11 @@ def update_mesh_cache(
             jnp.round(s["t12"] * 65535.0), 0, 65535
         ).astype(jnp.int32)                              # (ACT, 12)
         c888 = (
-            (jnp.clip(jnp.round(s["c12"][..., 0] * 255.0), 0, 255)
+            (jnp.clip(jnp.round(s["c12"][0] * 255.0), 0, 255)
              .astype(jnp.int32) << 16)
-            | (jnp.clip(jnp.round(s["c12"][..., 1] * 255.0), 0, 255)
+            | (jnp.clip(jnp.round(s["c12"][1] * 255.0), 0, 255)
                .astype(jnp.int32) << 8)
-            | jnp.clip(jnp.round(s["c12"][..., 2] * 255.0), 0, 255)
+            | jnp.clip(jnp.round(s["c12"][2] * 255.0), 0, 255)
             .astype(jnp.int32)
         )                                                # (ACT, 12)
 
@@ -533,44 +546,60 @@ def cache_to_mesh(
     lane = jnp.arange(cap, dtype=jnp.int32)
     lane_ok = lane < jnp.minimum(total, cap)
     rb = gmap // ts                                         # (cap,)
-    coords = volume.block_coords[rb]                        # (cap, 3)
 
-    offs = jnp.asarray(T.CORNER_OFFSETS, jnp.float32)
-    off_a = offs[jnp.asarray(T.EDGE_ENDPOINTS)[:, 0]]       # (12, 3)
-    off_b = offs[jnp.asarray(T.EDGE_ENDPOINTS)[:, 1]]
+    # The whole decode runs CHANNEL-PLANAR ((cap,) per component): a
+    # (cap, 3) minor-dim-3 f32 intermediate is laid out as T(8,128)
+    # tiles on this TPU -- a 42x padding expansion that OOM'd the
+    # compile at cap=2M (976 MB per select).  Same lesson as the splat
+    # renderer's planar vertex channels.
+    offs = [
+        jnp.asarray(T.CORNER_OFFSETS[:, k], jnp.float32) for k in range(3)
+    ]
+    ends = jnp.asarray(T.EDGE_ENDPOINTS)
+    off_a = [offs[k][ends[:, 0]] for k in range(3)]         # 3 x (12,)
+    off_b = [offs[k][ends[:, 1]] for k in range(3)]
 
     def decode(vword, cword):
+        """-> (3 x (cap,) position comps, 3 x (cap,) color comps)."""
         lidx = (vword >> 20) & 0x1FF
         edge = (vword >> 16) & 0xF
         t = (vword & 0xFFFF).astype(jnp.float32) * (1.0 / 65535.0)
-        lx = lidx // (bs * bs)
-        ly = (lidx // bs) % bs
-        lz = lidx % bs
-        base = (
-            coords * bs + jnp.stack([lx, ly, lz], axis=-1)
-        ).astype(jnp.float32)
-        pos = (
-            base + off_a[edge] + t[:, None] * (off_b[edge] - off_a[edge])
-        ) * vs
-        col = jnp.stack(
-            [
-                ((cword >> 16) & 0xFF).astype(jnp.float32),
-                ((cword >> 8) & 0xFF).astype(jnp.float32),
-                (cword & 0xFF).astype(jnp.float32),
-            ],
-            axis=-1,
-        ) * (1.0 / 255.0)
-        m = lane_ok[:, None]
-        return jnp.where(m, pos, 0.0), jnp.where(m, col, 0.0)
+        local = (lidx // (bs * bs), (lidx // bs) % bs, lidx % bs)
+        pos = []
+        for k in range(3):
+            base = (
+                volume.block_coords[rb, k] * bs + local[k]
+            ).astype(jnp.float32)
+            a = off_a[k][edge]
+            p = (base + a + t * (off_b[k][edge] - a)) * vs
+            pos.append(jnp.where(lane_ok, p, 0.0))
+        col = [
+            jnp.where(
+                lane_ok,
+                ((cword >> s) & 0xFF).astype(jnp.float32) * (1.0 / 255.0),
+                0.0,
+            )
+            for s in (16, 8, 0)
+        ]
+        return pos, col
 
-    pa, ka = decode(cache.va.reshape(-1)[gmap], cache.ca.reshape(-1)[gmap])
-    pb, kb = decode(cache.vb.reshape(-1)[gmap], cache.cb.reshape(-1)[gmap])
-    pc, kc = decode(cache.vc.reshape(-1)[gmap], cache.cc.reshape(-1)[gmap])
+    pos = []
+    col = []
+    for v, c in ((cache.va, cache.ca), (cache.vb, cache.cb),
+                 (cache.vc, cache.cc)):
+        p3, c3 = decode(v.reshape(-1)[gmap], c.reshape(-1)[gmap])
+        pos.append(p3)
+        col.append(c3)
+
+    def pack(rows):
+        """3 vertices x 3 comps of (cap,) -> (cap, 3, 3), one relayout."""
+        flat = jnp.stack([comp for vtx in rows for comp in vtx], axis=0)
+        return jnp.transpose(flat.reshape(3, 3, cap), (2, 0, 1))
 
     dropped = jnp.sum(cache.dropped)
     return Mesh(
-        positions=jnp.stack([pa, pb, pc], axis=1),
-        colors=jnp.clip(jnp.stack([ka, kb, kc], axis=1), 0.0, 1.0),
+        positions=pack(pos),
+        colors=jnp.clip(pack(col), 0.0, 1.0),
         count=jnp.minimum(total, cap).astype(jnp.int32),
         overflow=(jnp.maximum(total - cap, 0) + dropped).astype(jnp.int32),
         compact_dropped=dropped.astype(jnp.int32),

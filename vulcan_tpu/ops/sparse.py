@@ -261,20 +261,42 @@ def _integrate_batch(volume, frame, packed_img, ids, row_valid, config):
     )
     sdf = depth - z
 
-    tsdf = volume.tsdf[ids]
+    old_tsdf = volume.tsdf[ids]
+    old_cpack = volume.colorpack[ids]
     weight = volume.weight[ids]
-    col, cweight = B.unpack_voxel_color(volume.colorpack[ids])
+    col, cweight = B.unpack_voxel_color(old_cpack)
     tsdf, weight, col, cweight = voxel_update(
-        tsdf, weight, col, cweight, sdf, color, valid, config
+        old_tsdf, weight, col, cweight, sdf, color, valid, config
     )
     # Refresh the persistent surfel lists of exactly the rows whose TSDF
     # this chunk changed (see VolumeState.surfpack).
     surf, surf_count, dropped = B.pack_surfels(
         tsdf, weight, B.surfel_band(config), config.surfel_slots
     )
+    cpack = B.pack_voxel_color(col, cweight)
+    # Mesh-dirty gate: a block only needs re-meshing when its VALUES
+    # moved -- at steady state most band blocks integrate saturated
+    # observations whose running averages barely change, and blanket
+    # marking made the incremental mesher re-process the whole visible
+    # band every cadence (measured 10-20k blocks / 10 frames vs a few
+    # hundred truly-changed).  TSDF deltas below mesh_dirty_eps move an
+    # interpolated vertex by < eps/2 voxels (sub-quantization); the
+    # color test compares the stored rgb888 BYTES and ignores the
+    # 8-bit color-weight counter, which keeps ramping for ~seconds
+    # after the quantized color has stabilized.
+    eps = config.mesh_dirty_eps
+    if eps > 0.0:
+        changed = (
+            jnp.any(jnp.abs(tsdf - old_tsdf) > eps, axis=1)
+            | jnp.any(
+                (cpack & 0xFFFFFF) != (old_cpack & 0xFFFFFF), axis=1
+            )
+        )
+    else:
+        changed = jnp.ones(ids.shape, bool)
     return (
-        tsdf, weight, B.pack_voxel_color(col, cweight),
-        surf, surf_count, jnp.sum(dropped),
+        tsdf, weight, cpack,
+        surf, surf_count, jnp.sum(dropped), changed,
     )
 
 
@@ -328,10 +350,11 @@ def integrate_sparse(
         row_valid = (
             (start + jnp.arange(C, dtype=jnp.int32)) < work_count
         ) & (ids > 0)
-        tsdf, weight, cpack, surf, s_count, s_drop = _integrate_batch(
-            vol, frame, packed_dc, ids, row_valid, config
+        tsdf, weight, cpack, surf, s_count, s_drop, changed = (
+            _integrate_batch(vol, frame, packed_dc, ids, row_valid, config)
         )
         tgt = jnp.where(row_valid, ids, nb)               # drop masked rows
+        mark = jnp.where(row_valid & changed, ids, nb)
         vol = dataclasses.replace(
             vol,
             tsdf=vol.tsdf.at[tgt].set(tsdf, mode="drop"),
@@ -340,25 +363,18 @@ def integrate_sparse(
             surfpack=vol.surfpack.at[tgt].set(surf, mode="drop"),
             surf_count=vol.surf_count.at[tgt].set(s_count, mode="drop"),
             surf_overflow=(vol.surf_overflow + s_drop).astype(jnp.int32),
+            mesh_dirty=vol.mesh_dirty.at[mark].set(True, mode="drop"),
         )
         return i + 1, vol
 
+    # Incremental-mesh dirty marks ride the chunk loop (one masked
+    # scatter of the CHANGED rows per chunk -- see _integrate_batch's
+    # mesh-dirty gate).  Neighbor expansion -- a changed block also
+    # dirties the up-to-7 blocks whose mesh halos read it -- costs 7
+    # hash lookups per id and is deferred to mesh-update time
+    # (ops/mcubes.update_mesh_cache), keeping the per-frame tracking
+    # cost at ~one scatter.
     _, volume = jax.lax.while_loop(
         cond, body, (jnp.asarray(0, jnp.int32), volume)
-    )
-    # Incremental-mesh dirty marks: one masked scatter of the work list
-    # (the only blocks whose voxel data can have changed this frame).
-    # Neighbor expansion -- a changed block also dirties the up-to-7
-    # blocks whose mesh halos read it -- costs 7 hash lookups per id and
-    # is deferred to mesh-update time (ops/mcubes.update_mesh_cache),
-    # keeping the per-frame tracking cost at ~one scatter.
-    mark = jnp.where(
-        (jnp.arange(V, dtype=jnp.int32) < work_count) & (work_ids > 0),
-        work_ids,
-        nb,
-    )
-    volume = dataclasses.replace(
-        volume,
-        mesh_dirty=volume.mesh_dirty.at[mark].set(True, mode="drop"),
     )
     return volume
