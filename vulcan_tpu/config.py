@@ -63,6 +63,18 @@ class Config:
     raycast_fine_chunk: int = 8        # fine-march samples per round
     raycast_coarse: int = 4            # coarse march at 1/N resolution
     raycast_step_scale: float = 0.75   # sample spacing in units of mu
+    raycast_coarse_compact: int = 2    # survivor-compaction divisor for the
+                                       # coarse march (0 = off).  Measured
+                                       # round 5 (640x480, 9.7k-block
+                                       # orbit): compaction on = the
+                                       # lax.cond costs ~30 ms of branch
+                                       # tuple copies but halves the
+                                       # coarse sample work; off = the
+                                       # full-width coarse while reads
+                                       # 53 ms.  Net: keep it on.
+    raycast_fine_compact: int = 4      # same for the full-res fine march
+                                       # (307200 rays: compaction is worth
+                                       # ~3x there)
     refine_steps: int = 1              # trilinear secant polish rounds
     render_mode: str = "splat"         # "splat" (surfel scatter renderer,
                                        #   ~2x faster, equal tracking ATE)
