@@ -299,16 +299,18 @@ class Config:
                                        # volumes (beyond-capacity actives are
                                        # counted in Mesh.compact_dropped,
                                        # never silently lost)
-    mesh_cache_active_frac: float = 0.5  # same, for incremental cache
+    mesh_cache_active_frac: float = 0.3  # same, for incremental cache
                                        # updates: dirty blocks are band
                                        # blocks (surface-dense by
                                        # construction), so the compaction
                                        # budget doubles
-    mesh_dirty_eps: float = 2e-3       # integration marks a block mesh-
+    mesh_dirty_eps: float = 8e-3       # integration marks a block mesh-
                                        # dirty only when its TSDF moved by
-                                       # more than this (tsdf units; moves
-                                       # an interpolated vertex < eps/2
-                                       # voxels, i.e. sub-quantization) or
+                                       # more than this (tsdf units; at the
+                                       # production trunc/voxel ratio a
+                                       # just-below-eps delta moves an
+                                       # interpolated vertex ~5% of a voxel
+                                       # = 0.4 mm) or
                                        # its stored rgb888 bytes changed.
                                        # Cuts the per-cadence re-mesh set
                                        # from the whole visible band to the

@@ -523,10 +523,12 @@ def cache_to_mesh(
 ) -> Mesh:
     """Decode the per-block triangle cache into a compact triangle soup.
 
-    Fixed passes over the (num_blocks * mesh_slots) slot grid: build the
-    compaction map (cumsum + scatter), gather the live slots, decode the
-    quantized vertices.  Output triangle order matches ``extract_mesh``
-    (ascending block row, cube order within the block).
+    The compaction map (slot -> output lane) is built in ROW CHUNKS
+    whose loop trip count follows ``free_count``: a fixed full-capacity
+    pass swept all num_blocks * mesh_slots = 16.7M slots regardless of
+    allocation (~half the measured 508 ms decode at 25k allocated
+    blocks).  Output triangle order matches ``extract_mesh`` (ascending
+    block row, cube order within the block).
     """
     nb, ts = cache.counts.shape[0], cache.va.shape[1]
     bs = config.block_size
@@ -536,12 +538,26 @@ def cache_to_mesh(
     offsets = jnp.cumsum(cache.counts) - cache.counts       # (NB,) excl
     total = jnp.sum(cache.counts)
 
-    slots = jnp.arange(nb * ts, dtype=jnp.int32)
-    r = slots // ts
-    sl = slots % ts
-    valid = sl < cache.counts[r]
-    dst = jnp.where(valid, offsets[r] + sl, cap)
-    gmap = jnp.zeros((cap,), jnp.int32).at[dst].set(slots, mode="drop")
+    RC_ = min(8192, nb)
+    n_rch = (jnp.minimum(volume.free_count, nb) + RC_ - 1) // RC_
+    sl = jnp.arange(RC_ * ts, dtype=jnp.int32) % ts
+    rrel = jnp.arange(RC_ * ts, dtype=jnp.int32) // ts
+
+    def gmap_body(carry):
+        i, gmap = carry
+        base = i * RC_
+        rows = base + rrel                                  # (RC_*ts,)
+        cnt = jax.lax.dynamic_slice_in_dim(cache.counts, base, RC_)[rrel]
+        off = jax.lax.dynamic_slice_in_dim(offsets, base, RC_)[rrel]
+        valid = sl < cnt
+        dst = jnp.where(valid, off + sl, cap)
+        return i + 1, gmap.at[dst].set(rows * ts + sl, mode="drop")
+
+    _, gmap = jax.lax.while_loop(
+        lambda c: c[0] < n_rch,
+        gmap_body,
+        (jnp.asarray(0, jnp.int32), jnp.zeros((cap,), jnp.int32)),
+    )
 
     lane = jnp.arange(cap, dtype=jnp.int32)
     lane_ok = lane < jnp.minimum(total, cap)
